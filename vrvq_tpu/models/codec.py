@@ -1,0 +1,178 @@
+"""Codec plumbing: conv-graph length arithmetic and the ``.dac`` bitstream.
+
+Reference: models/dac_base.py. The reference's ``CodecMixin`` walks
+``self.modules()`` to compute the padding-free receptive delay and output
+length used by chunked streaming compression. Torch mutates conv padding at
+runtime (models/dac_base.py:68-84); under XLA the padded and unpadded codecs
+are simply two statically-compiled programs, and the arithmetic here is pure
+Python over a static ``ConvSpec`` list generated from the model config in
+torch ``modules()`` order (so computed delays match the reference exactly,
+including the k=1 quantizer projections and the importance subnet's k=3
+convs that the reference walk picks up).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Sequence, Union
+
+import numpy as np
+
+SUPPORTED_VERSIONS = ["1.0.0"]
+
+
+@dataclass(frozen=True)
+class ConvSpec:
+    """One conv layer for length arithmetic. kind: 'conv' | 'convT'."""
+
+    kind: str
+    kernel: int
+    stride: int = 1
+    dilation: int = 1
+
+
+def output_length(layers: Sequence[ConvSpec], input_length: int) -> int:
+    """Padding-free output length of the conv chain
+    (reference: models/dac_base.py:112-127)."""
+    L = input_length
+    for layer in layers:
+        d, k, s = layer.dilation, layer.kernel, layer.stride
+        if layer.kind == "conv":
+            L = ((L - d * (k - 1) - 1) / s) + 1
+        elif layer.kind == "convT":
+            L = (L - 1) * s + d * (k - 1) + 1
+        else:
+            raise ValueError(layer.kind)
+        L = math.floor(L)
+    return L
+
+
+def delay(layers: Sequence[ConvSpec]) -> int:
+    """Receptive delay of the padding-free codec
+    (reference: models/dac_base.py:86-110)."""
+    l_out = output_length(layers, 0)
+    L = l_out
+    for layer in reversed(layers):
+        d, k, s = layer.dilation, layer.kernel, layer.stride
+        if layer.kind == "convT":
+            L = ((L - d * (k - 1) - 1) / s) + 1
+        elif layer.kind == "conv":
+            L = (L - 1) * s + d * (k - 1) + 1
+        L = math.ceil(L)
+    l_in = L
+    return (l_in - l_out) // 2
+
+
+def _residual_unit_specs(dilation: int) -> List[ConvSpec]:
+    return [
+        ConvSpec("conv", 7, 1, dilation),
+        ConvSpec("conv", 1, 1, 1),
+    ]
+
+
+def encoder_conv_specs(strides: Sequence[int]) -> List[ConvSpec]:
+    """Conv walk of the Encoder (reference: models/dac_vrvq.py:19-48)."""
+    specs: List[ConvSpec] = [ConvSpec("conv", 7)]
+    for stride in strides:
+        for dilation in (1, 3, 9):
+            specs += _residual_unit_specs(dilation)
+        specs += [ConvSpec("conv", 2 * stride, stride)]
+    specs += [ConvSpec("conv", 3)]
+    return specs
+
+
+def decoder_conv_specs(rates: Sequence[int]) -> List[ConvSpec]:
+    """Conv walk of the Decoder (reference: models/dac_vrvq.py:51-80)."""
+    specs: List[ConvSpec] = [ConvSpec("conv", 7)]
+    for stride in rates:
+        specs += [ConvSpec("convT", 2 * stride, stride)]
+        for dilation in (1, 3, 9):
+            specs += _residual_unit_specs(dilation)
+    specs += [ConvSpec("conv", 7)]
+    return specs
+
+
+def quantizer_conv_specs(n_codebooks: int, vbr: bool,
+                         n_imp_convs: int = 6) -> List[ConvSpec]:
+    """Conv walk of the quantizer in torch ``modules()`` order: per-stage
+    in/out 1x1 projections, then (VBR only) the importance subnet's k=3
+    convs — the reference's delay walk includes these
+    (models/dac_base.py:92-94 walks every nn.Conv1d in the model)."""
+    specs: List[ConvSpec] = []
+    for _ in range(n_codebooks):
+        specs += [ConvSpec("conv", 1), ConvSpec("conv", 1)]
+    if vbr:
+        specs += [ConvSpec("conv", 3)] * n_imp_convs
+    return specs
+
+
+def model_conv_specs(
+    encoder_rates: Sequence[int],
+    decoder_rates: Sequence[int],
+    n_codebooks: int,
+    vbr: bool,
+    n_imp_convs: int = 6,
+) -> List[ConvSpec]:
+    return (
+        encoder_conv_specs(encoder_rates)
+        + quantizer_conv_specs(n_codebooks, vbr, n_imp_convs)
+        + decoder_conv_specs(decoder_rates)
+    )
+
+
+@dataclass
+class DACFile:
+    """The ``.dac`` bitstream: uint16 codes + metadata via np.save.
+
+    File-format compatible with the reference (models/dac_base.py:19-58) so
+    bitstreams round-trip between frameworks. VBR extension: an optional
+    per-frame codebook-count array (``vbr_counts``) so variable-bitrate
+    streams can be stored compactly (the reference left VBR compression
+    unimplemented, models/dac_base.py:161).
+    """
+
+    codes: np.ndarray  # (B, Nq, T) int
+
+    chunk_length: int
+    original_length: int
+    input_db: float
+    channels: int
+    sample_rate: int
+    padding: bool
+    dac_version: str = SUPPORTED_VERSIONS[-1]
+    vbr_counts: Union[np.ndarray, None] = None  # (B, T) uint8, codebooks/frame
+
+    def save(self, path) -> Path:
+        artifacts = {
+            "codes": np.asarray(self.codes).astype(np.uint16),
+            "metadata": {
+                "input_db": np.float32(self.input_db),
+                "original_length": self.original_length,
+                "sample_rate": self.sample_rate,
+                "chunk_length": self.chunk_length,
+                "channels": self.channels,
+                "padding": self.padding,
+                "dac_version": self.dac_version,
+            },
+        }
+        if self.vbr_counts is not None:
+            artifacts["vbr_counts"] = np.asarray(self.vbr_counts).astype(np.uint8)
+        path = Path(path).with_suffix(".dac")
+        with open(path, "wb") as f:
+            np.save(f, artifacts)
+        return path
+
+    @classmethod
+    def load(cls, path) -> "DACFile":
+        artifacts = np.load(path, allow_pickle=True)[()]
+        codes = artifacts["codes"].astype(np.int32)
+        metadata = dict(artifacts["metadata"])
+        if metadata.get("dac_version", None) not in SUPPORTED_VERSIONS:
+            raise RuntimeError(
+                f"Given file {path} can't be loaded with this version of vrvq_tpu."
+            )
+        metadata["input_db"] = float(metadata["input_db"])
+        vbr_counts = artifacts.get("vbr_counts", None)
+        return cls(codes=codes, vbr_counts=vbr_counts, **metadata)

@@ -1,0 +1,276 @@
+"""DAC_VRVQ: the flagship variable-bitrate neural audio codec.
+
+Reference: models/dac_vrvq.py:19-253. Wires Encoder -> (VBR)RVQ -> Decoder.
+Public API keeps the reference's conventions — audio ``(B, 1, T)``, codes
+``(B, Nq, T)``, latent dict entries in ``(B, D, T)`` orientation — while all
+internal compute is channels-last for the TPU's lane layout. One jit program
+per op: ``encode``, ``decode``, ``__call__`` (forward).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.layers import DecoderBlock, EncoderBlock, Snake1d, WNConv1d
+from . import codec
+from .quantize import ResidualVectorQuantize, VBRResidualVectorQuantize
+
+
+class Encoder(nn.Module):
+    """Conv stack: in-conv k=7 -> EncoderBlocks (dim doubles per stride) ->
+    Snake -> k=3 conv to latent_dim (reference: models/dac_vrvq.py:19-48).
+
+    ``return_feat=True`` also returns the activation after the last
+    EncoderBlock — the importance subnet's input.
+    Channels-last: (B, T, 1) -> (B, T_frames, latent_dim).
+    """
+
+    d_model: int = 64
+    strides: Sequence[int] = (2, 4, 8, 8)
+    latent_dim: int = 512
+    padding: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_feat: bool = False):
+        pad_mode = "zeros" if self.padding else "none"
+        d = self.d_model
+        x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
+                     name="in_conv")(x)
+        for i, stride in enumerate(self.strides):
+            d *= 2
+            x = EncoderBlock(d, stride=stride, padding=self.padding,
+                             name=f"block_{i}")(x)
+        feat = x
+        x = Snake1d(d, name="snake")(x)
+        x = WNConv1d(d, self.latent_dim, kernel_size=3, padding=1,
+                     pad_mode=pad_mode, name="out_conv")(x)
+        if return_feat:
+            return x, feat
+        return x
+
+
+class Decoder(nn.Module):
+    """Conv stack: in-conv k=7 -> DecoderBlocks (dim halves per rate) ->
+    Snake -> k=7 conv -> tanh (reference: models/dac_vrvq.py:51-80).
+    Channels-last: (B, T_frames, latent) -> (B, T, 1)."""
+
+    input_channel: int
+    channels: int
+    rates: Sequence[int]
+    d_out: int = 1
+    padding: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad_mode = "zeros" if self.padding else "none"
+        x = WNConv1d(self.input_channel, self.channels, kernel_size=7,
+                     padding=3, pad_mode=pad_mode, name="in_conv")(x)
+        output_dim = self.channels
+        for i, stride in enumerate(self.rates):
+            input_dim = self.channels // (2 ** i)
+            output_dim = self.channels // (2 ** (i + 1))
+            x = DecoderBlock(input_dim, output_dim, stride,
+                             padding=self.padding, name=f"block_{i}")(x)
+        x = Snake1d(output_dim, name="snake")(x)
+        x = WNConv1d(output_dim, self.d_out, kernel_size=7, padding=3,
+                     pad_mode=pad_mode, name="out_conv")(x)
+        return jnp.tanh(x)
+
+
+class DAC_VRVQ(nn.Module):
+    """Reference: models/dac_vrvq.py:83-253.
+
+    model_type selects the CBR ``ResidualVectorQuantize`` or the VBR
+    ``VBRResidualVectorQuantize`` (paper core). ``padding=False`` compiles
+    the streaming (pad-free) variant used by chunked compress/decompress.
+    """
+
+    encoder_dim: int = 64
+    encoder_rates: Sequence[int] = (2, 4, 8, 8)
+    latent_dim: Optional[int] = None
+    decoder_dim: int = 1536
+    decoder_rates: Sequence[int] = (8, 8, 4, 2)
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: Union[int, Sequence[int]] = 8
+    quantizer_dropout: float = 0.0
+    sample_rate: int = 44100
+    model_type: str = "VBR"  # "VBR" | "CBR"
+    full_codebook_rate: float = 0.0
+    level_min: Optional[float] = None
+    level_max: Optional[float] = None
+    level_dist: str = "uniform"
+    detach_imp_map_input: bool = False
+    imp2mask_alpha: float = 1.0
+    padding: bool = True
+
+    @property
+    def resolved_latent_dim(self) -> int:
+        if self.latent_dim is None:
+            return self.encoder_dim * (2 ** len(self.encoder_rates))
+        return self.latent_dim
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.encoder_rates))
+
+    @property
+    def conv_specs(self) -> List[codec.ConvSpec]:
+        return codec.model_conv_specs(
+            self.encoder_rates,
+            self.decoder_rates,
+            self.n_codebooks,
+            vbr=self.model_type == "VBR",
+        )
+
+    @property
+    def delay(self) -> int:
+        """Receptive delay for padding-free streaming
+        (reference: models/dac_vrvq.py:162 via dac_base.get_delay)."""
+        return codec.delay(self.conv_specs)
+
+    def get_output_length(self, input_length: int) -> int:
+        return codec.output_length(self.conv_specs, input_length)
+
+    def setup(self):
+        latent_dim = self.resolved_latent_dim
+        self.encoder = Encoder(
+            d_model=self.encoder_dim,
+            strides=tuple(self.encoder_rates),
+            latent_dim=latent_dim,
+            padding=self.padding,
+            name="encoder",
+        )
+        if self.model_type == "CBR":
+            self.quantizer = ResidualVectorQuantize(
+                input_dim=latent_dim,
+                n_codebooks=self.n_codebooks,
+                codebook_size=self.codebook_size,
+                codebook_dim=self.codebook_dim,
+                quantizer_dropout=self.quantizer_dropout,
+                name="quantizer",
+            )
+        elif self.model_type == "VBR":
+            self.quantizer = VBRResidualVectorQuantize(
+                input_dim=latent_dim,
+                n_codebooks=self.n_codebooks,
+                codebook_size=self.codebook_size,
+                codebook_dim=self.codebook_dim,
+                quantizer_dropout=self.quantizer_dropout,
+                full_codebook_rate=self.full_codebook_rate,
+                level_min=self.level_min,
+                level_max=self.level_max,
+                level_dist=self.level_dist,
+                detach_imp_map_input=self.detach_imp_map_input,
+                imp2mask_alpha=self.imp2mask_alpha,
+                name="quantizer",
+            )
+        else:
+            raise ValueError(f"Invalid RVQ model_type: {self.model_type}")
+        self.decoder = Decoder(
+            input_channel=latent_dim,
+            channels=self.decoder_dim,
+            rates=tuple(self.decoder_rates),
+            padding=self.padding,
+            name="decoder",
+        )
+
+    # ----------------------------------------------------------- public API
+    def preprocess(self, audio_data: jnp.ndarray,
+                   sample_rate: Optional[int] = None) -> jnp.ndarray:
+        """Right-pad (B, 1, T) audio to a hop multiple
+        (reference: models/dac_vrvq.py:164-173). Static under jit."""
+        if sample_rate is None:
+            sample_rate = self.sample_rate
+        assert sample_rate == self.sample_rate
+        length = audio_data.shape[-1]
+        right_pad = math.ceil(length / self.hop_length) * self.hop_length - length
+        if right_pad:
+            audio_data = jnp.pad(audio_data, ((0, 0), (0, 0), (0, right_pad)))
+        return audio_data
+
+    def _quantize(self, z, feat, n_quantizers, level, train):
+        if self.model_type == "CBR":
+            return self.quantizer(z, n_quantizers=n_quantizers, train=train)
+        return self.quantizer(
+            z, n_quantizers=n_quantizers, feat_enc=feat, level=level,
+            train=train,
+        )
+
+    def _encode_internal(self, audio_data, n_quantizers, level, train):
+        """audio (B, 1, T) -> quantizer dict, channels-last internals."""
+        x = audio_data.transpose(0, 2, 1)  # (B, T, 1)
+        z, feat = self.encoder(x, return_feat=True)
+        return self._quantize(z, feat, n_quantizers, level, train)
+
+    def encode(
+        self,
+        audio_data: jnp.ndarray,
+        n_quantizers: Optional[int] = None,
+        level: Optional[float] = 1.0,
+        train: bool = False,
+    ):
+        """audio (B, 1, T) -> reference-shaped dict
+        (reference: models/dac_vrvq.py:176-213):
+        z_q (B, D, T'), z_q_is (B, Nq, D, T'), codes (B, Nq, T'),
+        latents (B, Nq*d, T'), imp_map (B, 1, T'), mask_imp (B, Nq, T')."""
+        q = self._encode_internal(audio_data, n_quantizers, level, train)
+        out = dict(q)
+        out["z_q"] = q["z_q"].transpose(0, 2, 1)
+        out["latents"] = q["latents"].transpose(0, 2, 1)
+        if "z_q_is" in q:
+            out["z_q_is"] = q["z_q_is"].transpose(0, 1, 3, 2)
+        return out
+
+    def decode(self, z_q: jnp.ndarray) -> jnp.ndarray:
+        """z_q (B, D, T') -> audio (B, 1, T)
+        (reference: models/dac_vrvq.py:215-220)."""
+        x = self.decoder(z_q.transpose(0, 2, 1))
+        return x.transpose(0, 2, 1)
+
+    def decode_from_codes(
+        self,
+        codes: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """codes (B, Nq, T') [+ VBR mask (B, Nq, T')] -> audio (B, 1, T).
+        Completes the codes->audio path the reference stubs out
+        (models/dac_base.py:280-281 + models/quantize.py:445-446)."""
+        if self.model_type == "VBR":
+            z_q = self.quantizer.from_codes(codes, mask=mask)[0]
+        else:
+            z_q = self.quantizer.from_codes(codes)[0]
+        x = self.decoder(z_q)
+        return x.transpose(0, 2, 1)
+
+    def __call__(
+        self,
+        audio_data: jnp.ndarray,
+        sample_rate: Optional[int] = None,
+        n_quantizers: Optional[int] = None,
+        level: Optional[float] = 1.0,
+        train: bool = False,
+    ):
+        """Full forward: preprocess -> encode -> decode, trimmed to the
+        input length (reference: models/dac_vrvq.py:222-253)."""
+        length = audio_data.shape[-1]
+        audio_data = self.preprocess(audio_data, sample_rate)
+        q = self._encode_internal(audio_data, n_quantizers, level, train)
+        x = self.decoder(q["z_q"])  # (B, T, 1)
+        audio = x.transpose(0, 2, 1)[..., :length]
+        return {
+            "audio": audio,
+            "z": q["z_q"].transpose(0, 2, 1),
+            "codes": q["codes"],
+            "latents": q["latents"].transpose(0, 2, 1),
+            "vq/commitment_loss": q["commitment_loss"],
+            "vq/codebook_loss": q["codebook_loss"],
+            "imp_map": q.get("imp_map", None),
+            "mask_imp": q.get("mask_imp", None),
+        }

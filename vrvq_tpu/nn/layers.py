@@ -1,0 +1,288 @@
+"""NN primitives for the codec: weight-normed convs, Snake, residual blocks.
+
+TPU-native rebuild of the reference primitives (reference:
+models/layers.py:17-135). Key design differences from the torch original:
+
+  * channels-last layout: every module here takes/returns ``(B, T, C)`` so
+    the channel axis maps onto the TPU's 128-wide lane dimension and XLA can
+    tile convs onto the MXU without transposes.
+  * weight normalization is an explicit reparameterization
+    ``w = g * v / ||v||`` (torch ``weight_norm`` keeps ``dim=0``; we norm
+    over the matching axes so converted torch checkpoints are bit-equivalent
+    in f32).
+  * ``padding`` is a static module flag (not a runtime mutation like the
+    reference's ``CodecMixin.padding`` setter, models/dac_base.py:68-84) so
+    each streaming/non-streaming variant compiles to its own XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.snake import snake
+
+
+def _kaiming_uniform_bound(fan_in: int) -> float:
+    # torch Conv default: kaiming_uniform(a=sqrt(5)) => bound = 1/sqrt(fan_in)
+    return 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized 1-D convolution, channels-last.
+
+    Parity notes (reference: models/layers.py:17-18): torch stores
+    ``weight_v`` as ``(out, in/groups, k)`` with the norm taken per *out*
+    channel (``dim=0``). We store ``v`` in WIO layout ``(k, in/groups, out)``
+    and norm over axes (0, 1), which is the same grouping.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    pad_mode: str = "zeros"  # 'zeros' | 'none' (streaming: padding disabled)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, cin, cout, g = (
+            self.kernel_size,
+            self.in_channels,
+            self.out_channels,
+            self.groups,
+        )
+        fan_in = (cin // g) * k
+        bound = _kaiming_uniform_bound(fan_in)
+
+        v = self.param(
+            "v",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (k, cin // g, cout),
+        )
+        # g initialized to ||v|| so the initial effective weight equals v
+        # (matching torch weight_norm wrapping at construction).
+        g_param = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, cout), axis=0
+            ).reshape(shape),
+            (cout,),
+        )
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
+        w = v * (g_param[None, None, :] / jnp.maximum(norm, 1e-32))
+
+        pad = [(self.padding, self.padding)] if self.pad_mode == "zeros" else [(0, 0)]
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(self.stride,),
+            padding=pad,
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (cout,))
+            y = y + b.astype(y.dtype)
+        return y.astype(x.dtype)
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized transposed 1-D convolution, channels-last.
+
+    Implemented as a fractionally-strided conv: ``lhs_dilation = stride``
+    with padding ``k - 1 - p`` and a spatially-flipped kernel, which XLA
+    lowers to the same MXU matmuls as a forward conv. Output length is
+    ``(L-1)*stride - 2*padding + kernel`` — identical to torch's
+    ``ConvTranspose1d``.
+
+    Parity notes: torch stores ``weight_v`` as ``(in, out/groups, k)`` and
+    ``weight_norm(dim=0)`` norms per *in* channel over ``(out, k)``. We keep
+    ``v`` in that torch layout so checkpoint conversion is a pure reshape,
+    and build the flipped WIO kernel at call time.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    pad_mode: str = "zeros"  # 'zeros' | 'none' (streaming: padding=0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, cin, cout = self.kernel_size, self.in_channels, self.out_channels
+        fan_in = cin * k  # torch fan_in for ConvTranspose1d init
+        bound = _kaiming_uniform_bound(fan_in)
+
+        v = self.param(
+            "v",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (cin, cout, k),
+        )
+        g_param = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                v.reshape(cin, -1), axis=1
+            ).reshape(shape),
+            (cin,),
+        )
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
+        w = v * (g_param[:, None, None] / jnp.maximum(norm, 1e-32))
+        # (in, out, k) -> flipped WIO (k, in, out)
+        w = jnp.flip(w, axis=2).transpose(2, 0, 1)
+
+        p = self.padding if self.pad_mode == "zeros" else 0
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (cout,))
+            y = y + b.astype(y.dtype)
+        return y.astype(x.dtype)
+
+
+class Snake1d(nn.Module):
+    """Snake activation ``x + sin^2(alpha*x)/alpha`` with per-channel alpha.
+
+    Reference: models/layers.py:26-41 (torch.jit.script'd for a claimed
+    1.4x; here XLA fuses it into neighboring convs, with an optional Pallas
+    fused path in ops/snake.py).
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.ones, (self.channels,))
+        return snake(x, alpha.astype(x.dtype))
+
+
+class ResidualUnit(nn.Module):
+    """Snake -> dilated k=7 conv -> Snake -> k=1 conv, with residual add.
+
+    Reference: models/layers.py:52-68. With padding enabled the dilated conv
+    is length-preserving so the residual crop is a no-op; with padding
+    disabled (streaming) the input is center-cropped to match the shrunken
+    output, exactly as the reference's crop.
+    """
+
+    dim: int = 16
+    dilation: int = 1
+    padding: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = ((7 - 1) * self.dilation) // 2
+        pad_mode = "zeros" if self.padding else "none"
+        y = Snake1d(self.dim, name="snake1")(x)
+        y = WNConv1d(
+            self.dim, self.dim, kernel_size=7, dilation=self.dilation,
+            padding=pad, pad_mode=pad_mode, name="conv1",
+        )(y)
+        y = Snake1d(self.dim, name="snake2")(y)
+        y = WNConv1d(self.dim, self.dim, kernel_size=1, name="conv2")(y)
+        crop = (x.shape[1] - y.shape[1]) // 2
+        if crop > 0:
+            x = x[:, crop:-crop, :]
+        return x + y
+
+
+class EncoderBlock(nn.Module):
+    """3 ResidualUnits (dilations 1/3/9 at dim/2) + Snake + strided conv.
+
+    Reference: models/layers.py:71-89 (kernel = 2*stride,
+    padding = ceil(stride/2)).
+    """
+
+    dim: int = 16
+    stride: int = 1
+    padding: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        half = self.dim // 2
+        pad_mode = "zeros" if self.padding else "none"
+        for i, dilation in enumerate((1, 3, 9)):
+            x = ResidualUnit(
+                half, dilation=dilation, padding=self.padding, name=f"res{i}"
+            )(x)
+        x = Snake1d(half, name="snake")(x)
+        x = WNConv1d(
+            half, self.dim,
+            kernel_size=2 * self.stride,
+            stride=self.stride,
+            padding=math.ceil(self.stride / 2),
+            pad_mode=pad_mode,
+            name="down",
+        )(x)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Snake + transposed conv (kernel=2*stride) + 3 ResidualUnits.
+
+    Reference: models/layers.py:92-110.
+    """
+
+    input_dim: int = 16
+    output_dim: int = 8
+    stride: int = 1
+    padding: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad_mode = "zeros" if self.padding else "none"
+        x = Snake1d(self.input_dim, name="snake")(x)
+        x = WNConvTranspose1d(
+            self.input_dim, self.output_dim,
+            kernel_size=2 * self.stride,
+            stride=self.stride,
+            padding=math.ceil(self.stride / 2),
+            pad_mode=pad_mode,
+            name="up",
+        )(x)
+        for i, dilation in enumerate((1, 3, 9)):
+            x = ResidualUnit(
+                self.output_dim, dilation=dilation, padding=self.padding,
+                name=f"res{i}",
+            )(x)
+        return x
+
+
+class DenoisingBlock(nn.Module):
+    """3 ResidualUnits + Snake + k=3 conv (reference: models/layers.py:113-135;
+    defined upstream but unused by any model — kept for inventory parity)."""
+
+    dim: int = 16
+    padding: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad_mode = "zeros" if self.padding else "none"
+        for i, dilation in enumerate((1, 3, 9)):
+            x = ResidualUnit(
+                self.dim, dilation=dilation, padding=self.padding, name=f"res{i}"
+            )(x)
+        x = Snake1d(self.dim, name="snake")(x)
+        x = WNConv1d(
+            self.dim, self.dim, kernel_size=3, stride=1,
+            padding=1, pad_mode=pad_mode, name="conv",
+        )(x)
+        return x
