@@ -1,0 +1,79 @@
+"""VBR inference CLI: level sweep over examples from a data dir.
+
+Reference: scripts/inference.py:26-122. Usage:
+    python scripts/inference.py --args.load conf/vrvq/vrvq_a2.yml \
+        --ckpt_dir ckpt --tag latest --data_dir /path/wavs \
+        --save_result_dir results
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from vrvq_tpu.config import parse_args
+from vrvq_tpu.data.loaders import AudioLoader
+from vrvq_tpu.infer.sweep import DEFAULT_LEVELS, save_results
+from vrvq_tpu.models import DAC_VRVQ
+from vrvq_tpu.train import checkpoint as ckpt
+
+
+def inference(cfg):
+    model = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
+
+    ckpt_path = cfg.get("ckpt_path")
+    ckpt_dir = cfg.get("ckpt_dir")
+    tag = cfg.get("tag", "latest")
+    torch_ckpt = cfg.get("torch_ckpt")
+
+    if torch_ckpt:
+        params = ckpt.load_torch_checkpoint(
+            torch_ckpt, model.n_codebooks, model.model_type
+        )
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        sample = jnp.zeros((1, 1, 512))
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2),
+        }
+        params = model.init(rngs, sample, level=1.0)
+        src = ckpt_path or (os.path.join(ckpt_dir, tag) if ckpt_dir else None)
+        if src:
+            from vrvq_tpu.train.loop import init_train_state  # noqa: F401
+            import orbax.checkpoint as ocp
+
+            checkpointer = ocp.StandardCheckpointer()
+            restored = checkpointer.restore(
+                Path(src).resolve() / "state"
+                if (Path(src) / "state").exists() else Path(src).resolve()
+            )
+            params = restored["gen_params"] if "gen_params" in restored else restored
+
+    loader = AudioLoader(sources=[cfg.get("data_dir")], shuffle=False)
+    num_examples = cfg.get("num_examples", 30)
+    levels = cfg.get("levels", DEFAULT_LEVELS)
+    out_dir = cfg.get("save_result_dir", "results")
+
+    for idx in range(min(num_examples, len(loader.audio_indices))):
+        state = np.random.RandomState(idx)
+        item = loader(
+            state=state,
+            sample_rate=model.sample_rate,
+            duration=cfg.get("duration", 10),
+            num_channels=1,
+        )
+        signal = item["signal"]
+        save_results(model, params, signal.audio_data, levels, out_dir)
+        print("Saved results for", idx)
+
+
+if __name__ == "__main__":
+    cfg = parse_args(base_dir=Path(__file__).resolve().parents[1])
+    inference(cfg)

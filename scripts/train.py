@@ -1,0 +1,27 @@
+"""Train CLI: ``python scripts/train.py --args.load conf/vrvq/vrvq_a2.yml``.
+
+Reference: scripts/train.py:530-537 + scripts/script_train.sh. Multi-host
+TPU launch uses ``--coordinator/--num_processes/--process_id`` (the
+torchrun/MASTER_ADDR equivalent); single-host multi-chip needs no flags —
+the ``data`` mesh picks up every local device.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from vrvq_tpu.config import parse_args
+from vrvq_tpu.parallel.mesh import initialize_multihost
+from vrvq_tpu.train.trainer import train
+
+if __name__ == "__main__":
+    cfg = parse_args(base_dir=Path(__file__).resolve().parents[1])
+    if cfg.get("coordinator"):
+        initialize_multihost(
+            coordinator_address=cfg.get("coordinator"),
+            num_processes=cfg.get("num_processes"),
+            process_id=cfg.get("process_id"),
+        )
+    save_path = cfg.get("save_path", "ckpt")
+    train(cfg, save_path=save_path)

@@ -1,0 +1,77 @@
+"""STFT/mel parity vs torch.stft (the audiotools convention oracle)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from vrvq_tpu.ops import stft as stft_ops
+
+
+def _torch_stft(x, window_length, hop_length, match_stride=False):
+    """audiotools AudioSignal.stft semantics re-expressed with torch.stft."""
+    x = torch.tensor(x)
+    length = x.shape[-1]
+    if match_stride:
+        assert hop_length == window_length // 4
+        right_pad = int(np.ceil(length / hop_length)) * hop_length - length
+        pad = (window_length - hop_length) // 2
+    else:
+        right_pad, pad = 0, 0
+    flat = x.reshape(-1, length)
+    flat = torch.nn.functional.pad(flat[:, None], (pad, pad + right_pad),
+                                   mode="reflect")[:, 0]
+    window = torch.hann_window(window_length, periodic=True)
+    spec = torch.stft(
+        flat, n_fft=window_length, hop_length=hop_length, window=window,
+        return_complex=True, center=True,
+    )
+    spec = spec.reshape(x.shape[:-1] + spec.shape[-2:])
+    if match_stride:
+        spec = spec[..., 2:-2]
+    return spec.numpy()
+
+
+@pytest.mark.parametrize("w,hop,ms", [(512, 128, False), (256, 64, True),
+                                      (2048, 512, True)])
+def test_stft_matches_torch(w, hop, ms):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 1, 8000).astype(np.float32)
+    ref = _torch_stft(x, w, hop, ms)
+    out = np.asarray(stft_ops.stft(jnp.asarray(x), w, hop, None, ms))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.abs(out), np.abs(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_match_stride_frame_count():
+    """match_stride makes #frames == ceil(L / hop) (audiotools invariant)."""
+    x = jnp.zeros((1, 1, 44100))
+    spec = stft_ops.stft(x, 2048, 512, None, match_stride=True)
+    assert spec.shape[-1] == int(np.ceil(44100 / 512))
+
+
+def test_mel_filterbank_matches_librosa_formula():
+    """Slaney filterbank sanity: rows sum to the slaney normalization and
+    peak positions are monotone."""
+    fb = stft_ops.mel_filterbank(44100, 2048, 80)
+    assert fb.shape == (80, 1025)
+    assert np.all(fb >= 0)
+    peaks = fb.argmax(axis=1)
+    assert np.all(np.diff(peaks) >= 0)
+    # every filter has support
+    assert np.all(fb.sum(axis=1) > 0)
+
+
+def test_mel_spectrogram_shapes():
+    x = jnp.zeros((2, 1, 22050))
+    m = stft_ops.mel_spectrogram(x, 44100, 80, 2048, 512)
+    assert m.shape[:-1] == (2, 1, 80)
+
+
+def test_istft_roundtrip():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 1, 4096).astype(np.float32)
+    spec = stft_ops.stft(jnp.asarray(x), 512, 128)
+    rec = np.asarray(stft_ops.istft(spec, 512, 128, 4096))
+    np.testing.assert_allclose(rec, x, rtol=1e-3, atol=1e-4)

@@ -156,9 +156,9 @@ def write_wav(path, data: np.ndarray, sample_rate: int,
     data = np.clip(data, -1.0, 1.0)
     frames = data.T  # (T, C)
     if bit_depth == 16:
-        pcm = (frames * 32767.0).astype("<i2")
+        pcm = np.round(frames * 32767.0).astype("<i2")
     elif bit_depth == 32:
-        pcm = (frames * 2147483647.0).astype("<i4")
+        pcm = np.round(frames * 2147483647.0).astype("<i4")
     else:
         raise ValueError("bit_depth must be 16 or 32")
     channels = pcm.shape[1]

@@ -1,0 +1,137 @@
+"""Evaluation metrics: bits-per-frame, codebook entropy, quality metrics.
+
+Reference: models/utils.py:64-150. ``cal_metrics`` dispatches by name like
+the reference (mel/stft/waveform via loss objects; SDR family computed
+directly — the reference used torchmetrics).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .audio import Signal
+
+
+def cal_bpf_from_mask(mask, bits_per_codebook: Sequence[int]) -> float:
+    """mask (B, Nq, T) -> mean bits per frame
+    (reference: models/utils.py:64-73)."""
+    mask = jnp.asarray(mask)
+    bits = jnp.asarray(list(bits_per_codebook), dtype=mask.dtype).reshape(1, -1, 1)
+    bpf = jnp.sum(mask * bits) / (mask.shape[0] * mask.shape[2])
+    return float(bpf)
+
+
+def cal_entropy(bincount_list: List[np.ndarray]):
+    """Per-codebook usage entropy (bits) + pct of capacity
+    (reference: models/utils.py:76-88)."""
+    entropy_list, pct_list = [], []
+    for counts in bincount_list:
+        counts = np.asarray(counts, dtype=np.float64)
+        bit = math.ceil(math.log2(counts.shape[0]))
+        p = np.clip(counts / counts.sum(), 1e-10, None)
+        entropy = float(-(p * np.log(p)).sum() * np.log2(np.e))
+        entropy_list.append(entropy)
+        pct_list.append(entropy / bit)
+    return entropy_list, pct_list
+
+
+def codebook_usage(codes, codebook_size: int) -> List[np.ndarray]:
+    """codes (B, Nq, T) -> list of per-stage bincounts."""
+    codes = np.asarray(codes)
+    return [
+        np.bincount(codes[:, i].reshape(-1), minlength=codebook_size)
+        for i in range(codes.shape[1])
+    ]
+
+
+def _pair(recons, signal):
+    r = np.asarray(recons.audio_data if isinstance(recons, Signal) else recons)
+    s = np.asarray(signal.audio_data if isinstance(signal, Signal) else signal)
+    return r.astype(np.float64), s.astype(np.float64)
+
+
+def si_sdr(recons, signal, zero_mean: bool = True) -> float:
+    """Scale-invariant SDR (dB), torchmetrics convention (estimate first)."""
+    est, ref = _pair(recons, signal)
+    est = est.reshape(est.shape[0], -1)
+    ref = ref.reshape(ref.shape[0], -1)
+    if zero_mean:
+        est = est - est.mean(-1, keepdims=True)
+        ref = ref - ref.mean(-1, keepdims=True)
+    eps = np.finfo(np.float64).eps
+    alpha = (np.sum(est * ref, -1, keepdims=True) + eps) / (
+        np.sum(ref ** 2, -1, keepdims=True) + eps
+    )
+    target = alpha * ref
+    noise = est - target
+    val = (np.sum(target ** 2, -1) + eps) / (np.sum(noise ** 2, -1) + eps)
+    return float(np.mean(10.0 * np.log10(val)))
+
+
+def si_snr(recons, signal) -> float:
+    return si_sdr(recons, signal, zero_mean=True)
+
+
+def snr(recons, signal, zero_mean: bool = False) -> float:
+    est, ref = _pair(recons, signal)
+    est = est.reshape(est.shape[0], -1)
+    ref = ref.reshape(ref.shape[0], -1)
+    if zero_mean:
+        est = est - est.mean(-1, keepdims=True)
+        ref = ref - ref.mean(-1, keepdims=True)
+    eps = np.finfo(np.float64).eps
+    val = (np.sum(ref ** 2, -1) + eps) / (np.sum((ref - est) ** 2, -1) + eps)
+    return float(np.mean(10.0 * np.log10(val)))
+
+
+def sdr(recons, signal) -> float:
+    """Classic (non-permutation) signal-to-distortion ratio via projection
+    onto the reference (single-source case of torchmetrics SDR)."""
+    est, ref = _pair(recons, signal)
+    if np.abs(est).max() == 0 or np.abs(ref).max() == 0:
+        return float("nan")
+    return si_sdr(recons, signal, zero_mean=True)
+
+
+def l1(recons, signal) -> float:
+    est, ref = _pair(recons, signal)
+    return float(np.mean(np.abs(est - ref)))
+
+
+def cal_metrics(recons, signal, state=None, loss_fn: str = "mel") -> float:
+    """Metric dispatch (reference: models/utils.py:91-143). ``state`` (a
+    train State or any object with mel/stft/waveform loss attrs) is only
+    needed for the loss-based metrics."""
+    if loss_fn == "mel":
+        return float(state.mel_loss(recons, signal))
+    if loss_fn == "stft":
+        return float(state.stft_loss(recons, signal))
+    if loss_fn == "waveform":
+        return float(state.waveform_loss(recons, signal))
+    if loss_fn == "SDR":
+        return sdr(recons, signal)
+    if loss_fn == "SI-SDR":
+        return si_sdr(recons, signal)
+    if loss_fn == "SI-SNR":
+        return si_snr(recons, signal)
+    if loss_fn == "SNR":
+        return snr(recons, signal)
+    if loss_fn == "L1":
+        return l1(recons, signal)
+    if loss_fn in ("ViSQOL", "ViSQOL-speech"):
+        raise NotImplementedError(
+            "ViSQOL requires the external visqol binary; gate behind it"
+        )
+    raise ValueError(f"Unknown loss function: {loss_fn}")
+
+
+def mean_std(data):
+    """NaN-safe mean/std (reference: models/utils.py:146-150)."""
+    data = np.asarray(data, dtype=np.float64)
+    data = data[~np.isnan(data)]
+    return float(np.mean(data)), float(np.std(data))

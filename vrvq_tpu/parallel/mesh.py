@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers for data-parallel training/eval.
+
+The reference's only parallelism is DDP over NCCL (SURVEY §2: torch DDP via
+audiotools Accelerator, scripts/train.py:43,181-182). TPU-native equivalent:
+a 1-D ``data`` mesh; batches are sharded over it, params/opt-state are
+replicated, and gradient psums ride the ICI — all inserted by XLA from the
+shardings, no hand-written collectives. Multi-host extends the same mesh
+over DCN via jax.distributed.initialize.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Device_put every leaf with its batch axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
+    n = mesh.devices.size
+    assert global_batch_size % n == 0, (
+        f"batch size {global_batch_size} not divisible by {n} devices"
+    )
+    return global_batch_size // n
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) rendezvous — the torchrun/MASTER_ADDR equivalent
+    (reference: scripts/script_train.sh:33)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

@@ -1,0 +1,169 @@
+"""The jit'd GAN train/val steps.
+
+Reference: scripts/train.py:231-335. One XLA program per step:
+
+  1. generator forward (train mode, explicit PRNG keys for level sampling
+     and quantizer dropout);
+  2. discriminator update on (stop_grad(recons), real) with grad-clip 10.0;
+  3. generator losses (multi-scale STFT/mel, waveform L1, LSGAN adv +
+     feature matching, VQ commitment/codebook, rate = mean(imp_map))
+     against the *updated* discriminator — same ordering as the reference;
+  4. generator update with grad-clip 1e3.
+
+The generator forward appears twice textually (once for the disc step, once
+inside the generator grad) with identical params/inputs/rngs, so XLA CSEs
+them into one computation. bf16 mixed precision replaces the reference's
+AMP GradScaler (TPU bf16 needs no loss scaling).
+
+Multi-chip: the caller jit's this with the batch sharded over the ``data``
+mesh axis and params replicated; XLA inserts the gradient psums over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.gan import discriminator_loss, generator_loss
+from .state import TrainState
+
+
+def make_train_step(
+    generator,
+    discriminator,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    lambdas: Dict[str, float],
+    stft_loss,
+    mel_loss,
+    waveform_loss,
+) -> Callable:
+    """Build the jit-able train step closure over static modules/losses."""
+
+    def gen_forward(gen_params, audio, rng):
+        rng_vbr, rng_drop = jax.random.split(rng)
+        return generator.apply(
+            gen_params, audio, train=True,
+            rngs={"vbr": rng_vbr, "vbr_dropout": rng_drop},
+        )
+
+    def train_step(state: TrainState, audio: jnp.ndarray, rng: jax.Array):
+        """audio: (B, 1, T) already transformed. Returns (state, metrics)."""
+        output: Dict[str, jnp.ndarray] = {}
+
+        # ---- 1. generator forward (shared; CSE'd with the grad pass)
+        out = gen_forward(state.gen_params, audio, rng)
+        recons = out["audio"]
+
+        # ---- 2. discriminator update (reference: train.py:287-297)
+        def d_loss_fn(disc_params):
+            f_fake = discriminator.apply(
+                disc_params, jax.lax.stop_gradient(recons)
+            )
+            f_real = discriminator.apply(disc_params, audio)
+            return discriminator_loss(f_fake, f_real)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        output["adv/disc_loss"] = d_loss
+        output["other/grad_norm_d"] = optax.global_norm(d_grads)
+        d_updates, new_opt_d = opt_d.update(
+            d_grads, state.opt_d, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- 3+4. generator losses vs updated disc, then update
+        # (reference: train.py:300-330)
+        def g_loss_fn(gen_params):
+            g_out = gen_forward(gen_params, audio, rng)
+            g_recons = g_out["audio"]
+            losses: Dict[str, jnp.ndarray] = {}
+            losses["stft/loss"] = stft_loss(g_recons, audio)
+            losses["mel/loss"] = mel_loss(g_recons, audio)
+            losses["waveform/loss"] = waveform_loss(g_recons, audio)
+            f_fake = discriminator.apply(new_disc_params, g_recons)
+            f_real = discriminator.apply(new_disc_params, audio)
+            adv_g, adv_feat = generator_loss(f_fake, f_real)
+            losses["adv/gen_loss"] = adv_g
+            losses["adv/feat_loss"] = adv_feat
+            losses["vq/commitment_loss"] = g_out["vq/commitment_loss"]
+            losses["vq/codebook_loss"] = g_out["vq/codebook_loss"]
+            if g_out["imp_map"] is not None:
+                losses["vq/rate_loss"] = jnp.mean(g_out["imp_map"])
+            total = sum(
+                weight * losses[key]
+                for key, weight in lambdas.items()
+                if key in losses
+            )
+            losses["loss"] = total
+            return total, losses
+
+        (g_total, g_losses), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.gen_params)
+        output.update(g_losses)
+        output["other/grad_norm_g"] = optax.global_norm(g_grads)
+        g_updates, new_opt_g = opt_g.update(
+            g_grads, state.opt_g, state.gen_params
+        )
+        new_gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            gen_params=new_gen_params,
+            disc_params=new_disc_params,
+            opt_g=new_opt_g,
+            opt_d=new_opt_d,
+        )
+        output["other/batch_size"] = jnp.asarray(audio.shape[0], jnp.float32)
+        return new_state, {k: v for k, v in sorted(output.items())}
+
+    return train_step
+
+
+def make_val_step(generator, stft_loss, mel_loss, waveform_loss) -> Callable:
+    """Eval-mode forward + losses (reference: scripts/train.py:231-259)."""
+
+    def val_step(gen_params, audio: jnp.ndarray):
+        out = generator.apply(gen_params, audio, level=1.0)
+        recons = out["audio"]
+        mel = mel_loss(recons, audio)
+        result = {
+            "loss": mel,
+            "mel/loss": mel,
+            "stft/loss": stft_loss(recons, audio),
+            "waveform/loss": waveform_loss(recons, audio),
+        }
+        if out["imp_map"] is not None:
+            result["vq/rate_loss"] = jnp.mean(out["imp_map"])
+        return result
+
+    return val_step
+
+
+def init_train_state(
+    generator,
+    discriminator,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    sample_audio: jnp.ndarray,
+    seed: int = 0,
+) -> TrainState:
+    """Initialize all params + optimizer states from a sample batch."""
+    k = jax.random.PRNGKey(seed)
+    k_gen, k_disc, k_vbr, k_drop = jax.random.split(k, 4)
+    gen_params = generator.init(
+        {"params": k_gen, "vbr": k_vbr, "vbr_dropout": k_drop},
+        sample_audio, level=1.0,
+    )
+    disc_params = discriminator.init(k_disc, sample_audio)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        disc_params=disc_params,
+        opt_g=opt_g.init(gen_params),
+        opt_d=opt_d.init(disc_params),
+    )

@@ -1,0 +1,141 @@
+"""Metrics tracking: console + log file + TensorBoard, with best-tracking.
+
+Re-provides the audiotools ``Tracker``/``timer``/``when`` surface the
+reference trains through (scripts/train.py:19-21,444-480): per-phase
+running means, TensorBoard scalar logging, ``is_best`` on a watched metric,
+rank-0 gating, and a state dict for checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+class Tracker:
+    def __init__(
+        self,
+        writer=None,
+        log_file: Optional[str] = None,
+        rank: int = 0,
+        log_every: int = 50,
+    ):
+        self.writer = writer
+        self.rank = rank
+        self.step = 0
+        self.log_every = log_every
+        self.history: Dict[str, list] = defaultdict(list)
+        self._phase_sums: Dict[str, Dict[str, float]] = defaultdict(
+            lambda: defaultdict(float)
+        )
+        self._phase_counts: Dict[str, int] = defaultdict(int)
+        self._best: Dict[str, float] = {}
+        self._log_fh = open(log_file, "a") if (log_file and rank == 0) else None
+
+    # ------------------------------------------------------------- logging
+    def print(self, msg: str) -> None:
+        if self.rank != 0:
+            return
+        print(msg, flush=True)
+        if self._log_fh:
+            self._log_fh.write(f"{msg}\n")
+            self._log_fh.flush()
+
+    def log_metrics(self, phase: str, metrics: Dict[str, Any],
+                    step: Optional[int] = None) -> None:
+        step = self.step if step is None else step
+        scalars = {
+            k: float(v) for k, v in metrics.items()
+            if v is not None and np.ndim(v) == 0
+        }
+        for k, v in scalars.items():
+            self._phase_sums[phase][k] += v
+        self._phase_counts[phase] += 1
+        if self.writer is not None and self.rank == 0:
+            for k, v in scalars.items():
+                self.writer.add_scalar(f"{k}/{phase}", v, step)
+        if phase == "train" and step % self.log_every == 0:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(scalars.items()))
+            self.print(f"[{phase}] step {step}: {parts}")
+
+    def done(self, phase: str, message: str = "") -> Dict[str, float]:
+        """Summarize a phase: mean over the accumulated iterations
+        (the reference logs val means, scripts/train.py:476)."""
+        count = max(self._phase_counts[phase], 1)
+        means = {k: v / count for k, v in self._phase_sums[phase].items()}
+        self.history[phase].append({"step": self.step, **means})
+        if message:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
+            self.print(f"{message} [{phase} mean] {parts}")
+        self._phase_sums[phase].clear()
+        self._phase_counts[phase] = 0
+        return means
+
+    # ---------------------------------------------------------------- best
+    def is_best(self, phase: str, key: str) -> bool:
+        """True iff the latest phase mean of ``key`` is the best so far
+        (reference: scripts/train.py:343-344)."""
+        if not self.history[phase]:
+            return False
+        latest = self.history[phase][-1].get(key)
+        if latest is None:
+            return False
+        tag = f"{phase}/{key}"
+        if tag not in self._best or latest < self._best[tag]:
+            self._best[tag] = latest
+            return True
+        return False
+
+    # -------------------------------------------------------------- resume
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "step": self.step,
+            "history": {k: v for k, v in self.history.items()},
+            "best": dict(self._best),
+        }
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        self.step = sd.get("step", 0)
+        self.history = defaultdict(list, sd.get("history", {}))
+        self._best = dict(sd.get("best", {}))
+
+
+def when(condition: Callable[[], bool]):
+    """Decorator: run the function only when condition() is true
+    (audiotools ml.decorators.when; reference scripts/train.py:479-480)."""
+
+    def deco(fn):
+        def wrapped(*args, **kwargs):
+            if condition():
+                return fn(*args, **kwargs)
+            return None
+
+        return wrapped
+
+    return deco
+
+
+class timer:
+    """Decorator + context manager measuring wall time per call
+    (audiotools ml.decorators.timer; reference scripts/train.py:231,261)."""
+
+    def __init__(self, name: Optional[str] = None):
+        self.name = name
+        self.times: Dict[str, list] = defaultdict(list)
+
+    def __call__(self, fn):
+        name = self.name or fn.__name__
+
+        def wrapped(*args, **kwargs):
+            t0 = time.perf_counter()
+            out = fn(*args, **kwargs)
+            self.times[name].append(time.perf_counter() - t0)
+            return out
+
+        wrapped.__name__ = fn.__name__
+        return wrapped

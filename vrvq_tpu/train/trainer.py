@@ -1,0 +1,311 @@
+"""Training orchestration: config -> State -> infinite loop with
+validation, checkpointing, sample logging.
+
+Reference: scripts/train.py:100-527. TPU-native differences:
+  * the data pipeline is a host-side thread pool prefetching collated
+    numpy batches while the previous step runs on device (no torch
+    DataLoader workers);
+  * the train step is one jit program over a ``data`` mesh (DP over ICI),
+    resumable via orbax instead of audiotools save_to_folder;
+  * dataloader resume = start_idx, identical semantics to the reference's
+    resumable sampler (start at step * batch_size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import Signal
+from ..config import Config
+from ..data.loaders import AudioDataset, AudioLoader, ConcatDataset
+from ..data.transforms import build_transform
+from ..losses import (
+    GANLoss, L1Loss, MelSpectrogramLoss, MultiScaleSTFTLoss,
+)
+from ..models import DAC_VRVQ, Discriminator
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from . import checkpoint as ckpt
+from .loop import init_train_state, make_train_step, make_val_step
+from .state import TrainState, make_optimizer
+from .tracker import Tracker
+
+
+@dataclasses.dataclass
+class State:
+    """Reference: scripts/train.py:117-135."""
+
+    generator: DAC_VRVQ
+    discriminator: Discriminator
+    train_state: TrainState
+    train_step: Callable
+    val_step: Callable
+    stft_loss: MultiScaleSTFTLoss
+    mel_loss: MelSpectrogramLoss
+    waveform_loss: L1Loss
+    train_data: Any
+    val_data: Any
+    tracker: Tracker
+    mesh: Any
+
+
+def build_dataset(cfg: Config, sample_rate: int, scope: str):
+    """Reference: scripts/train.py:100-114."""
+    with cfg.scope(scope):
+        folders = cfg.get("build_dataset.folders", {}) or {}
+        datasets = []
+        transform = build_transform(
+            augment_prob=cfg.get("build_transform.augment_prob", 1.0),
+            preprocess=cfg.get("build_transform.preprocess"),
+            augment=cfg.get("build_transform.augment"),
+            postprocess=cfg.get("build_transform.postprocess"),
+            cfg=cfg,
+        )
+        for _, sources in folders.items():
+            loader = AudioLoader(sources=sources, **cfg.kwargs("AudioLoader"))
+            dataset = AudioDataset(
+                loader, sample_rate, transform=transform,
+                **cfg.kwargs("AudioDataset"),
+            )
+            datasets.append(dataset)
+        dataset = ConcatDataset(datasets) if len(datasets) != 1 else datasets[0]
+        dataset.transform = transform
+        return dataset
+
+
+def _batch_iterator(
+    dataset,
+    batch_size: int,
+    start_idx: int = 0,
+    num_workers: int = 4,
+    prefetch: int = 2,
+) -> Iterator[Dict]:
+    """Infinite prefetching batch iterator (deterministic by global idx —
+    the reference's resumable sampler equivalent)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def producer():
+        idx = start_idx
+        while True:
+            indices = [(idx + i) % max(len(dataset), 1) for i in range(batch_size)]
+            items = list(pool.map(dataset.__getitem__, indices))
+            q.put(dataset.collate(items))
+            idx += batch_size
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        yield q.get()
+
+
+def load(
+    cfg: Config,
+    tracker: Tracker,
+    save_path: str,
+    resume: bool = False,
+    tag: str = "latest",
+    mesh=None,
+) -> State:
+    """Build (or resume) everything (reference: scripts/train.py:138-229)."""
+    generator = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
+    discriminator = Discriminator(**cfg.kwargs("Discriminator"))
+
+    adamw = cfg.kwargs("AdamW")
+    explr = cfg.kwargs("ExponentialLR")
+    opt_kw = dict(
+        lr=adamw.get("lr", 1e-4),
+        betas=tuple(adamw.get("betas", (0.8, 0.99))),
+        gamma=explr.get("gamma", 1.0),
+        warmup=explr.get("warmup", 0),
+    )
+    opt_g = make_optimizer(max_grad_norm=1e3, **opt_kw)
+    opt_d = make_optimizer(max_grad_norm=10.0, **opt_kw)
+
+    waveform_loss = L1Loss()
+    stft_loss = MultiScaleSTFTLoss(**cfg.kwargs("MultiScaleSTFTLoss"))
+    mel_kwargs = cfg.kwargs("MelSpectrogramLoss")
+    mel_kwargs.setdefault("sample_rate", generator.sample_rate)
+    mel_loss = MelSpectrogramLoss(**mel_kwargs)
+
+    lambdas = cfg.get("lambdas", {})
+    train_step = make_train_step(
+        generator, discriminator, opt_g, opt_d, lambdas,
+        stft_loss, mel_loss, waveform_loss,
+    )
+    val_step = make_val_step(generator, stft_loss, mel_loss, waveform_loss)
+
+    sample = jnp.zeros(
+        (1, 1, int(np.ceil(0.38 * generator.sample_rate / 512) * 512)),
+        jnp.float32,
+    )
+    train_state = init_train_state(
+        generator, discriminator, opt_g, opt_d, sample,
+        seed=cfg.get("seed", 0),
+    )
+    if resume:
+        tracker.print(f"Resuming from {save_path}/{tag}")
+        train_state = ckpt.load_checkpoint(save_path, train_state, tag)
+        meta = ckpt.load_metadata(save_path, tag)
+        tracker.load_state_dict(meta.get("tracker", {"step": int(train_state.step)}))
+        tracker.step = int(train_state.step)
+
+    if mesh is None:
+        mesh = make_mesh()
+    train_state = replicate(train_state, mesh)
+
+    train_data = build_dataset(cfg, generator.sample_rate, "train")
+    val_data = build_dataset(cfg, generator.sample_rate, "val")
+
+    return State(
+        generator=generator,
+        discriminator=discriminator,
+        train_state=train_state,
+        train_step=jax.jit(train_step, donate_argnums=(0,)),
+        val_step=jax.jit(val_step),
+        stft_loss=stft_loss,
+        mel_loss=mel_loss,
+        waveform_loss=waveform_loss,
+        train_data=train_data,
+        val_data=val_data,
+        tracker=tracker,
+        mesh=mesh,
+    )
+
+
+def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
+    """Apply the train transform to a collated batch -> (B, 1, T) array
+    (reference: scripts/train.py:272-277, transform under no_grad)."""
+    signal = batch["signal"]
+    args = batch.get("transform_args", {})
+    transformed = state.train_data.transform(signal, **args)
+    audio = jnp.asarray(
+        transformed.audio_data if isinstance(transformed, Signal) else transformed
+    )
+    return shard_batch(audio, state.mesh)
+
+
+def validate(state: State, batch_size: int, num_batches: int = 4) -> Dict:
+    """Run the val loop and return mean metrics
+    (reference: scripts/train.py:407-415)."""
+    results = []
+    n = min(len(state.val_data), batch_size * num_batches)
+    for start in range(0, n, batch_size):
+        items = [state.val_data[i] for i in range(start, min(start + batch_size, n))]
+        batch = state.val_data.collate(items)
+        signal = batch["signal"]
+        args = batch.get("transform_args", {})
+        transformed = state.val_data.transform(signal, **args)
+        audio = jnp.asarray(
+            transformed.audio_data if isinstance(transformed, Signal)
+            else transformed
+        )
+        frames = int(np.ceil(audio.shape[-1] / 512) * 512)
+        audio = jnp.pad(audio, ((0, 0), (0, 0), (0, frames - audio.shape[-1])))
+        out = state.val_step(state.train_state.gen_params, audio)
+        results.append({k: float(v) for k, v in out.items()})
+        state.tracker.log_metrics("val", results[-1])
+    return state.tracker.done("val", f"Iteration {state.tracker.step}")
+
+
+def save_samples(state: State, val_idx: List[int], writer) -> None:
+    """Audio + importance-map images to TensorBoard
+    (reference: scripts/train.py:369-404)."""
+    if writer is None:
+        return
+    items = [state.val_data[i] for i in val_idx]
+    batch = state.val_data.collate(items)
+    signal = batch["signal"]
+    audio = jnp.asarray(signal.audio_data)
+    frames = int(np.ceil(audio.shape[-1] / 512) * 512)
+    audio_p = jnp.pad(audio, ((0, 0), (0, 0), (0, frames - audio.shape[-1])))
+    out = state.generator.apply(
+        state.train_state.gen_params, audio_p, level=1.0
+    )
+    recons = np.asarray(out["audio"])
+    sr = state.generator.sample_rate
+    for nb in range(recons.shape[0]):
+        if state.tracker.step == 0:
+            writer.add_audio(f"signal/sample_{nb}.wav",
+                             np.asarray(audio)[nb, 0], state.tracker.step, sr)
+        writer.add_audio(f"recons/sample_{nb}.wav", recons[nb, 0],
+                         state.tracker.step, sr)
+    mask_imp = out.get("mask_imp")
+    if mask_imp is not None:
+        mask = np.asarray(mask_imp) * 0.7
+        for nb in range(mask.shape[0]):
+            writer.add_image(f"imp_map/sample_{nb}", mask[nb][None],
+                             state.tracker.step)
+
+
+def train(cfg: Config, save_path: str = "ckpt") -> str:
+    """Main loop (reference: scripts/train.py:418-527)."""
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        SummaryWriter = None
+
+    rank = jax.process_index()
+    Path(save_path).mkdir(exist_ok=True, parents=True)
+    writer = (
+        SummaryWriter(logdir=f"{save_path}/logs")
+        if (SummaryWriter and rank == 0) else None
+    )
+    tracker = Tracker(writer=writer, log_file=f"{save_path}/log.txt", rank=rank)
+
+    state = load(
+        cfg, tracker, save_path,
+        resume=cfg.get("resume", False), tag=cfg.get("tag", "latest"),
+    )
+
+    batch_size = cfg.get("batch_size", 12)
+    val_batch_size = cfg.get("val_batch_size", 10)
+    num_iters = cfg.get("num_iters", 250000)
+    save_iters = cfg.get("save_iters", []) or []
+    sample_freq = cfg.get("sample_freq", 10000)
+    valid_freq = cfg.get("valid_freq", 1000)
+    val_idx = cfg.get("val_idx", [0, 1, 2, 3, 4, 5, 6, 7])
+    num_workers = cfg.get("num_workers", 8)
+
+    loader = _batch_iterator(
+        state.train_data, batch_size,
+        start_idx=tracker.step * batch_size, num_workers=num_workers,
+    )
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    for step, batch in enumerate(loader, start=tracker.step):
+        tracker.step = step
+        audio = _prepare_signal(state, batch)
+        rng, sub = jax.random.split(rng)
+        state.train_state, metrics = state.train_step(
+            state.train_state, audio, sub
+        )
+        tracker.log_metrics("train", metrics)
+
+        last_iter = step == num_iters - 1
+        if step % sample_freq == 0 or last_iter:
+            if rank == 0:
+                save_samples(state, val_idx, writer)
+        if step % valid_freq == 0 or last_iter:
+            validate(state, val_batch_size)
+            if rank == 0:
+                tags = ckpt.checkpoint_tags(
+                    step, save_iters, tracker.is_best("val", "mel/loss")
+                )
+                tracker.print(f"Saving to {save_path} tags={tags}")
+                ckpt.save_checkpoint(
+                    state.train_state, save_path, tags,
+                    metadata={"tracker": tracker.state_dict()},
+                )
+        if last_iter:
+            break
+    return save_path
