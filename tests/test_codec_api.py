@@ -1,0 +1,91 @@
+"""Streaming compress/decompress roundtrip tests (file -> .dac -> file)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vrvq_tpu.audio import Signal
+from vrvq_tpu.data.audio_io import write_wav
+from vrvq_tpu.infer.codec_api import CodecProcessor
+from vrvq_tpu.models import DAC_VRVQ
+from vrvq_tpu.models.codec import DACFile
+
+TINY = dict(
+    encoder_dim=8, encoder_rates=(2, 4, 8, 8), decoder_dim=128,
+    decoder_rates=(8, 8, 4, 2), n_codebooks=4, codebook_size=32,
+    codebook_dim=4, sample_rate=44100, model_type="VBR",
+    level_min=0.125, level_max=6.0,
+)
+
+
+@pytest.fixture(scope="module")
+def proc():
+    m = DAC_VRVQ(**TINY)
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, jnp.zeros((1, 1, 4096)), level=1.0)
+    return CodecProcessor(m, params)
+
+
+@pytest.fixture(scope="module")
+def tone(tmp_path_factory):
+    d = tmp_path_factory.mktemp("audio")
+    t = np.arange(int(2.5 * 44100)) / 44100
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = d / "tone.wav"
+    write_wav(path, x, 44100)
+    return path
+
+
+def test_compress_unchunked(proc, tone):
+    f = proc.compress(tone, win_duration=None, n_quantizers=2)
+    assert f.padding is True
+    assert f.codes.shape[1] == 2
+    assert f.original_length == int(2.5 * 44100)
+    out = proc.decompress(f)
+    assert out.audio_data.shape == (1, 1, f.original_length)
+
+
+def test_compress_chunked_cbr(proc, tone):
+    f = proc.compress(tone, win_duration=0.5, n_quantizers=4)
+    assert f.padding is False
+    assert f.codes.shape[1] == 4
+    out = proc.decompress(f)
+    assert out.audio_data.shape == (1, 1, f.original_length)
+    assert np.isfinite(out.numpy()).all()
+
+
+def test_compress_chunked_vbr_and_file_roundtrip(proc, tone, tmp_path):
+    f = proc.compress(tone, win_duration=0.5, level=1.0)
+    assert f.vbr_counts is not None
+    assert f.vbr_counts.shape == (1, f.codes.shape[-1])
+    assert f.vbr_counts.min() >= 1 and f.vbr_counts.max() <= 4
+    p = f.save(tmp_path / "tone.dac")
+    g = DACFile.load(p)
+    out = proc.decompress(g)
+    assert out.audio_data.shape == (1, 1, f.original_length)
+    assert np.isfinite(out.numpy()).all()
+
+
+def test_chunked_codes_match_unchunked_interior(proc, tone):
+    """Padding-free windowing must give the same codes as one big padless
+    encode (the windows are exactly aligned by construction)."""
+    sig = Signal.load(tone)
+    sig.normalize(-16)
+    data = np.asarray(sig.audio_data, np.float32)
+    delay = proc.model.delay
+
+    f = proc.compress(tone, win_duration=0.5, n_quantizers=4,
+                      normalize_db=-16)
+
+    # single-shot padless encode over the same delay-padded signal
+    padded = np.pad(data, ((0, 0), (0, 0), (delay, delay)))
+    n_samples = int(np.ceil(0.5 * 44100 / 512) * 512)
+    hop = proc.model_nopad.get_output_length(n_samples)
+    # first window's codes must match the first chunk of the stream
+    x = padded[..., :n_samples]
+    enc = proc._encode_nopad(jnp.asarray(x), 4, 1.0)
+    first = np.asarray(enc["codes"])
+    np.testing.assert_array_equal(f.codes[..., : first.shape[-1]], first)

@@ -1,0 +1,206 @@
+"""Chunked streaming compression API: wav file -> .dac -> wav.
+
+Reference: models/dac_base.py:129-304 — ``CodecMixin.compress/decompress``
+are stubbed with NotImplementedError upstream; the windowing mechanism in
+the dead code is the spec, and this module implements it for real:
+
+  * signals shorter than the window use the padded codec in one shot;
+  * longer signals use the padding-free codec on fixed-size windows
+    (static shapes -> one compiled XLA program per window size), zero-padded
+    by the model delay on both sides, with window stride equal to the
+    padding-free output length so decoded chunks concatenate seamlessly;
+  * loudness is measured (BS.1770) and normalized to ``normalize_db`` before
+    encoding and restored after decoding, as the reference does.
+
+VBR extension: pass ``level`` to compress at a variable bitrate — the
+per-frame codebook counts are stored in the ``.dac`` (``vbr_counts``) and
+decompress rebuilds the stage mask from them.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import Signal
+from ..models.codec import DACFile
+from ..ops.masks import generate_mask_hard
+
+GAIN_FACTOR = np.log(10) / 20
+
+
+class CodecProcessor:
+    """Host-side orchestrator around the padded + padding-free codecs."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.model_nopad = model.clone(padding=False)
+        self.params = params
+
+        self._encode_pad = jax.jit(
+            lambda a, nq, lv: model.apply(
+                self.params, a, n_quantizers=nq, level=lv,
+                method=type(model).encode,
+            ),
+            static_argnums=(1,),
+        )
+        self._encode_nopad = jax.jit(
+            lambda a, nq, lv: self.model_nopad.apply(
+                self.params, a, n_quantizers=nq, level=lv,
+                method=type(model).encode,
+            ),
+            static_argnums=(1,),
+        )
+        self._decode_codes_pad = jax.jit(
+            lambda c, m: model.apply(
+                self.params, c, m, method=type(model).decode_from_codes
+            )
+        )
+        self._decode_codes_nopad = jax.jit(
+            lambda c, m: self.model_nopad.apply(
+                self.params, c, m, method=type(model).decode_from_codes
+            )
+        )
+
+    # ------------------------------------------------------------ compress
+    def compress(
+        self,
+        audio_path_or_signal: Union[str, Path, Signal],
+        win_duration: float = 1.0,
+        verbose: bool = False,
+        normalize_db: Optional[float] = -16,
+        n_quantizers: Optional[int] = None,
+        level: Optional[float] = None,
+    ) -> DACFile:
+        """Reference semantics: models/dac_base.py:129-240."""
+        model = self.model
+        signal = audio_path_or_signal
+        if isinstance(signal, (str, Path)):
+            signal = Signal.load(signal)
+        signal = signal.clone()
+        original_sr = signal.sample_rate
+        original_length = signal.signal_length
+
+        signal.resample(model.sample_rate)
+        input_db = float(signal.loudness()[0])
+        if normalize_db is not None:
+            signal.normalize(normalize_db)
+        signal.ensure_max_of_audio()
+
+        data = np.asarray(signal.audio_data, np.float32)
+        nb, nac, nt = data.shape
+        data = data.reshape(nb * nac, 1, nt)
+        win_duration = signal.signal_duration if win_duration is None else win_duration
+
+        vbr = n_quantizers is None and level is not None
+        lv = level if level is not None else 1.0
+
+        if signal.signal_duration <= win_duration:
+            # Unchunked: padded codec
+            padding = True
+            n_samples = nt
+            hop = nt
+            right_pad = (
+                math.ceil(nt / model.hop_length) * model.hop_length - nt
+            )
+            x = np.pad(data, ((0, 0), (0, 0), (0, right_pad)))
+            enc = self._encode_pad(jnp.asarray(x), n_quantizers, lv)
+            codes = np.asarray(enc["codes"])
+            counts = self._mask_counts(enc, vbr, lv) if vbr else None
+            chunk_length = codes.shape[-1]
+        else:
+            # Chunked: padding-free codec, delay-padded ends
+            padding = False
+            delay = model.delay
+            data = np.pad(data, ((0, 0), (0, 0), (delay, delay)))
+            n_samples = int(win_duration * model.sample_rate)
+            n_samples = int(
+                math.ceil(n_samples / model.hop_length) * model.hop_length
+            )
+            hop = self.model_nopad.get_output_length(n_samples)
+            codes_list = []
+            counts_list = []
+            total = data.shape[-1]
+            for i in range(0, nt, hop):
+                x = data[..., i: i + n_samples]
+                pad = n_samples - x.shape[-1]
+                if pad > 0:
+                    x = np.pad(x, ((0, 0), (0, 0), (0, pad)))
+                enc = self._encode_nopad(jnp.asarray(x), n_quantizers, lv)
+                codes_list.append(np.asarray(enc["codes"]))
+                if vbr:
+                    counts_list.append(self._mask_counts(enc, vbr, lv))
+            del total
+            chunk_length = codes_list[0].shape[-1]
+            codes = np.concatenate(codes_list, axis=-1)
+            counts = np.concatenate(counts_list, axis=-1) if vbr else None
+
+        return DACFile(
+            codes=codes,
+            chunk_length=chunk_length,
+            original_length=original_length,
+            input_db=input_db,
+            channels=nac,
+            sample_rate=original_sr,
+            padding=padding,
+            vbr_counts=counts,
+        )
+
+    def _mask_counts(self, enc, vbr: bool, level: float) -> np.ndarray:
+        """(B, T) per-frame codebook counts from the importance map."""
+        n_q = self.model.n_codebooks
+        mask = generate_mask_hard(enc["imp_map"] * level * n_q, n_q)
+        return np.asarray(jnp.sum(mask, axis=1)).astype(np.uint8)
+
+    # ---------------------------------------------------------- decompress
+    def decompress(
+        self,
+        obj: Union[str, Path, DACFile],
+        verbose: bool = False,
+    ) -> Signal:
+        """Reference semantics: models/dac_base.py:242-304."""
+        model = self.model
+        if isinstance(obj, (str, Path)):
+            obj = DACFile.load(obj)
+
+        codes = np.asarray(obj.codes, np.int32)
+        chunk_length = obj.chunk_length
+        decode = self._decode_codes_pad if obj.padding else self._decode_codes_nopad
+
+        n_q = codes.shape[1]
+        recons = []
+        for i in range(0, codes.shape[-1], chunk_length):
+            c = codes[..., i: i + chunk_length]
+            if c.shape[-1] < chunk_length:
+                c = np.pad(
+                    c, ((0, 0), (0, 0), (0, chunk_length - c.shape[-1]))
+                )
+            if obj.vbr_counts is not None:
+                counts = obj.vbr_counts[..., i: i + chunk_length]
+                if counts.shape[-1] < chunk_length:
+                    counts = np.pad(
+                        counts,
+                        ((0, 0), (0, chunk_length - counts.shape[-1])),
+                    )
+                stage = np.arange(n_q).reshape(1, n_q, 1)
+                mask = (stage < counts[:, None, :]).astype(np.float32)
+                mask = jnp.asarray(mask)
+            else:
+                mask = jnp.ones((c.shape[0], n_q, chunk_length), jnp.float32)
+            r = decode(jnp.asarray(c), mask)
+            recons.append(np.asarray(r))
+
+        audio = np.concatenate(recons, axis=-1)
+        out = Signal(audio, model.sample_rate)
+        out.normalize(obj.input_db)
+        out.resample(obj.sample_rate)
+        out.audio_data = out.audio_data[..., : obj.original_length]
+        out.audio_data = out.audio_data.reshape(
+            -1, obj.channels, obj.original_length
+        )
+        return out

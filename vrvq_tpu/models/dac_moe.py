@@ -87,6 +87,10 @@ class MOEResidualVectorQuantize(nn.Module):
             # feat_enc (B, T, D) -> per-frame scores (B, Nq, T)
             # (reference: models/dac_moe.py:96-99)
             imp_map = self.router(feat_enc).transpose(0, 2, 1)
+            extra = imp_map.shape[-1] - frames
+            if extra > 0:  # padless encoder: align feat frames to z frames
+                lo = extra // 2
+                imp_map = imp_map[..., lo:lo + frames]
             if train:
                 assert self.level_min <= self.level_max
                 rng = self.make_rng("vbr")

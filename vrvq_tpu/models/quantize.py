@@ -326,8 +326,16 @@ class VBRResidualVectorQuantize(nn.Module):
         codebook_loss = jnp.stack(cb_rows, axis=1)
 
         if mode == "VBR":
-            imp_map = self.imp_subnet(feat_enc)  # (B, T, 1)
+            imp_map = self.imp_subnet(feat_enc)  # (B, T_feat, 1)
             imp_map = imp_map.transpose(0, 2, 1)  # (B, 1, T) reference shape
+            # Padding-free (streaming) encoders emit a feat 2 frames longer
+            # than z (the final k=3 out_conv shrinks unpadded); center-crop
+            # so the per-frame map aligns with the latent frames. (The
+            # reference never ran VBR in padless mode — compress is a stub.)
+            extra = imp_map.shape[-1] - frames
+            if extra > 0:
+                lo = extra // 2
+                imp_map = imp_map[..., lo:lo + frames]
             if train:
                 assert self.level_min is not None and self.level_max is not None
                 assert self.level_min < self.level_max
