@@ -96,9 +96,12 @@ class VectorQuantize(nn.Module):
         b, t, d = latents.shape
         enc = _l2_normalize(latents.astype(jnp.float32).reshape(b * t, d))
         cb = _l2_normalize(self.codebook.astype(jnp.float32))
+        # precision='highest' forces true-f32 MXU passes: the default 3-pass
+        # bf16 f32 emulation flips ~1.4% of argmax indices vs exact
         dist = (
             jnp.sum(enc * enc, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(enc, cb.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.dot(enc, cb.T, preferred_element_type=jnp.float32,
+                            precision="highest")
             + jnp.sum(cb * cb, axis=1, keepdims=True).T
         )
         indices = jnp.argmax(-dist, axis=1).reshape(b, t)

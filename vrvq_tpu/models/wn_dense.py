@@ -36,7 +36,10 @@ class WNDense1x1(nn.Module):
         )
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0, keepdims=True))
         w = v * (g[None, :] / jnp.maximum(norm, 1e-32))
-        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        # highest precision: these k=1 projections feed the codebook
+        # nearest-neighbor search whose argmax must be bit-stable
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32,
+                    precision="highest")
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (cout,))
             y = y + b

@@ -39,6 +39,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),    # out channels
                 ctypes.POINTER(ctypes.c_long),   # out frames
             ]
+            lib.vrvqio_loudness.restype = ctypes.c_double
+            lib.vrvqio_loudness.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ]
             lib.vrvqio_wav_info.restype = ctypes.c_int
             lib.vrvqio_wav_info.argtypes = [
                 ctypes.c_char_p,
@@ -81,3 +86,20 @@ def read_wav(path: str, offset: float = 0.0,
     t = frames.value
     data = buf[: t * ch.value].reshape(t, ch.value).T.copy()
     return data, sr.value
+
+
+def loudness(audio, sample_rate: int, block_size: float = 0.4):
+    """BS.1770 integrated loudness via the native lib; audio (C, T) float32.
+    Returns LUFS float or None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(np.asarray(audio, np.float32).T)  # (T, C)
+    t, c = a.shape
+    val = lib.vrvqio_loudness(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t, c, int(sample_rate), float(block_size),
+    )
+    if val <= -1e8:
+        return float("-inf")
+    return float(val)
