@@ -297,6 +297,16 @@ class DAC_MOE(nn.Module):
         x = self.decoder(z_q.transpose(0, 2, 1))
         return x.transpose(0, 2, 1)
 
+    def decode_from_codes(self, codes, mask=None):
+        """codes (B, Nq, T') [+ mask] -> audio (B, 1, T); same capability
+        extension as DAC_VRVQ.decode_from_codes."""
+        if self.model_type == "VBR":
+            z_q = self.quantizer.from_codes(codes, mask=mask)[0]
+        else:
+            z_q = self.quantizer.from_codes(codes)[0]
+        x = self.decoder(z_q)
+        return x.transpose(0, 2, 1)
+
     def __call__(self, audio_data, sample_rate=None, n_quantizers=None,
                  level=1.0, train=False):
         length = audio_data.shape[-1]

@@ -35,10 +35,12 @@ class Encoder(nn.Module):
     strides: Sequence[int] = (2, 4, 8, 8)
     latent_dim: int = 512
     padding: bool = True
+    compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on MXU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_feat: bool = False):
         pad_mode = "zeros" if self.padding else "none"
+        x = x.astype(jnp.dtype(self.compute_dtype))
         d = self.d_model
         x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
                      name="in_conv")(x)
@@ -50,8 +52,10 @@ class Encoder(nn.Module):
         x = Snake1d(d, name="snake")(x)
         x = WNConv1d(d, self.latent_dim, kernel_size=3, padding=1,
                      pad_mode=pad_mode, name="out_conv")(x)
+        # latents always hand off to the quantizer in f32 (index parity)
+        x = x.astype(jnp.float32)
         if return_feat:
-            return x, feat
+            return x, feat.astype(jnp.float32)
         return x
 
 
@@ -65,10 +69,12 @@ class Decoder(nn.Module):
     rates: Sequence[int]
     d_out: int = 1
     padding: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad_mode = "zeros" if self.padding else "none"
+        x = x.astype(jnp.dtype(self.compute_dtype))
         x = WNConv1d(self.input_channel, self.channels, kernel_size=7,
                      padding=3, pad_mode=pad_mode, name="in_conv")(x)
         output_dim = self.channels
@@ -80,7 +86,7 @@ class Decoder(nn.Module):
         x = Snake1d(output_dim, name="snake")(x)
         x = WNConv1d(output_dim, self.d_out, kernel_size=7, padding=3,
                      pad_mode=pad_mode, name="out_conv")(x)
-        return jnp.tanh(x)
+        return jnp.tanh(x).astype(jnp.float32)
 
 
 class DAC_VRVQ(nn.Module):
@@ -109,6 +115,7 @@ class DAC_VRVQ(nn.Module):
     detach_imp_map_input: bool = False
     imp2mask_alpha: float = 1.0
     padding: bool = True
+    compute_dtype: str = "float32"  # conv stacks; quantizer stays f32
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -145,6 +152,7 @@ class DAC_VRVQ(nn.Module):
             strides=tuple(self.encoder_rates),
             latent_dim=latent_dim,
             padding=self.padding,
+            compute_dtype=self.compute_dtype,
             name="encoder",
         )
         if self.model_type == "CBR":
@@ -178,6 +186,7 @@ class DAC_VRVQ(nn.Module):
             channels=self.decoder_dim,
             rates=tuple(self.decoder_rates),
             padding=self.padding,
+            compute_dtype=self.compute_dtype,
             name="decoder",
         )
 

@@ -56,6 +56,28 @@ def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
     return global_batch_size // n
 
 
+def zero_shard_opt_state(opt_state, mesh: Mesh, axis_name: str = "data"):
+    """ZeRO-style optimizer-state sharding over the data axis.
+
+    The reference shards AdamW state across DDP ranks via torch's
+    ZeroRedundancyOptimizer (scripts/train.py:185-188). Equivalent here:
+    every optimizer-state leaf whose leading dim divides the mesh size is
+    sharded over ``data``; XLA then keeps Adam moments distributed and
+    all-gathers only what each update needs over ICI. Params stay
+    replicated. Scalar leaves (step counts) stay replicated too.
+    """
+    n = mesh.devices.size
+    shard = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:

@@ -1,0 +1,64 @@
+"""Profiling / tracing utilities.
+
+The reference's only profiling is the audiotools ``@timer()`` console
+display plus cuDNN autotune (SURVEY §5, scripts/train.py:231,261,38). TPU
+equivalent: jax.profiler traces viewable in TensorBoard/Perfetto plus the
+host-side section timers in ``vrvq_tpu.train.tracker``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/vrvq_trace") -> Iterator[None]:
+    """Capture a jax.profiler trace of the enclosed block.
+
+    View with ``tensorboard --logdir <logdir>`` (Profile tab) or upload the
+    .pb to ui.perfetto.dev.
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str) -> Iterator[None]:
+    """Named region inside a profiler trace (TraceAnnotation)."""
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+class StepTimer:
+    """Rolling wall-clock timer for the hot loop; forces device sync via a
+    caller-provided fetch (block_until_ready does not synchronize through
+    remote-tunnel platforms)."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.times: list = []
+        self._t0: Optional[float] = None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        if len(self.times) > self.window:
+            self.times.pop(0)
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / max(len(self.times), 1)
+
+    def steps_per_sec(self) -> float:
+        return 1.0 / self.mean if self.times else 0.0
