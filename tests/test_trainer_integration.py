@@ -1,0 +1,134 @@
+"""End-to-end trainer integration: config -> data -> train loop ->
+checkpoint -> resume -> inference sweep, all on a tiny model + synthetic
+wavs. This exercises the full orchestration path the reference drives via
+scripts/train.py (SURVEY §3.1)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from vrvq_tpu.config import Config
+from vrvq_tpu.data.audio_io import write_wav
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer")
+    data = root / "wavs"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        t = np.arange(int(1.0 * 44100)) / 44100
+        x = (0.4 * np.sin(2 * np.pi * (200 + 80 * i) * t)).astype(np.float32)
+        x += 0.05 * rng.randn(len(t)).astype(np.float32)
+        write_wav(data / f"clip_{i}.wav", x, 44100)
+
+    cfg = Config({
+        # tiny model, full VBR machinery
+        "DAC_VRVQ.sample_rate": 44100,
+        "DAC_VRVQ.encoder_dim": 8,
+        "DAC_VRVQ.encoder_rates": [2, 4, 8, 8],
+        "DAC_VRVQ.decoder_dim": 128,
+        "DAC_VRVQ.decoder_rates": [8, 8, 4, 2],
+        "DAC_VRVQ.n_codebooks": 4,
+        "DAC_VRVQ.codebook_size": 32,
+        "DAC_VRVQ.codebook_dim": 4,
+        "DAC_VRVQ.model_type": "VBR",
+        "DAC_VRVQ.level_min": 0.125,
+        "DAC_VRVQ.level_max": 6.0,
+        "DAC_VRVQ.full_codebook_rate": 0.25,
+        "DAC_VRVQ.quantizer_dropout": 0.0,
+        "Discriminator.periods": [2, 3],
+        "Discriminator.fft_sizes": [512],
+        "Discriminator.rates": [],
+        "AdamW.lr": 1e-4,
+        "AdamW.betas": [0.8, 0.99],
+        "ExponentialLR.gamma": 0.999996,
+        "MultiScaleSTFTLoss.window_lengths": [512],
+        "MelSpectrogramLoss.n_mels": [40],
+        "MelSpectrogramLoss.window_lengths": [512],
+        "MelSpectrogramLoss.mel_fmin": [0],
+        "MelSpectrogramLoss.mel_fmax": [None],
+        "MelSpectrogramLoss.pow": 1.0,
+        "MelSpectrogramLoss.mag_weight": 0.0,
+        "lambdas": {
+            "mel/loss": 15.0, "adv/feat_loss": 2.0, "adv/gen_loss": 1.0,
+            "vq/commitment_loss": 0.25, "vq/codebook_loss": 1.0,
+            "vq/rate_loss": 2.0,
+        },
+        "train/build_dataset.folders": {"music": [str(data)]},
+        "val/build_dataset.folders": {"music": [str(data)]},
+        "train/AudioDataset.duration": 0.38,
+        "train/AudioDataset.n_examples": 100,
+        "val/AudioDataset.duration": 0.38,
+        "val/AudioDataset.n_examples": 4,
+        "AudioLoader.shuffle": True,
+        "AudioDataset.without_replacement": True,
+        "build_transform.preprocess": ["Identity"],
+        "build_transform.augment_prob": 0.0,
+        "build_transform.augment": ["Identity"],
+        "build_transform.postprocess": ["RescaleAudio"],
+        "batch_size": 4,
+        "val_batch_size": 2,
+        "num_iters": 3,
+        "valid_freq": 2,
+        "sample_freq": 1000,
+        "save_iters": [],
+        "val_idx": [0, 1],
+        "num_workers": 2,
+        "seed": 0,
+    })
+    return root, data, cfg
+
+
+def test_train_checkpoint_resume_infer(env):
+    from vrvq_tpu.train.trainer import train
+    from vrvq_tpu.train import checkpoint as ckpt
+
+    root, data, cfg = env
+    save_path = str(root / "ckpt")
+    out = train(cfg, save_path=save_path)
+    assert out == save_path
+    assert (Path(save_path) / "latest" / "state").exists()
+    meta = ckpt.load_metadata(save_path, "latest")
+    assert meta["step"] == 3  # trained 3 iters (steps 0..2, +1 on update)
+
+    # log file written
+    assert (Path(save_path) / "log.txt").exists()
+
+    # ---- resume for 2 more steps
+    cfg["resume"] = True
+    cfg["num_iters"] = 5
+    out = train(cfg, save_path=save_path)
+    meta = ckpt.load_metadata(save_path, "latest")
+    assert meta["step"] == 5
+
+    # ---- inference sweep from the trained checkpoint
+    from vrvq_tpu.models import DAC_VRVQ
+    from vrvq_tpu.infer.sweep import save_results
+    from vrvq_tpu.train.loop import init_train_state
+    from vrvq_tpu.train.state import make_optimizer
+    from vrvq_tpu.models import Discriminator
+    import jax.numpy as jnp
+
+    gen = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
+    disc = Discriminator(**cfg.kwargs("Discriminator"))
+    # optimizer chain structure must match the trainer's (clip + adamw)
+    opt_g = make_optimizer(max_grad_norm=1e3)
+    opt_d = make_optimizer(max_grad_norm=10.0)
+    abstract = init_train_state(gen, disc, opt_g, opt_d,
+                                jnp.zeros((1, 1, 2048)))
+    restored = ckpt.load_checkpoint(save_path, abstract, "latest")
+
+    audio = np.random.RandomState(1).randn(1, 1, 4096).astype(np.float32) * 0.1
+    meta = save_results(gen, restored.gen_params, audio, [0.5, 2.0],
+                        str(root / "results"))
+    assert len(meta) == 2
+    with open(root / "results" / "0" / "metadata.json") as f:
+        loaded = json.load(f)
+    for v in loaded.values():
+        assert np.isfinite(v["sisdr"]) and v["kbps"] > 0

@@ -160,7 +160,13 @@ def load(
         tracker.step = int(train_state.step)
 
     if mesh is None:
-        mesh = make_mesh()
+        # the data mesh uses the largest device count dividing the batch
+        # (the reference's DDP likewise requires batch % world_size == 0)
+        batch_size = cfg.get("batch_size", 12)
+        n = len(jax.devices())
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        mesh = make_mesh(n)
     train_state = replicate(train_state, mesh)
 
     train_data = build_dataset(cfg, generator.sample_rate, "train")
@@ -233,12 +239,23 @@ def save_samples(state: State, val_idx: List[int], writer) -> None:
     )
     recons = np.asarray(out["audio"])
     sr = state.generator.sample_rate
-    for nb in range(recons.shape[0]):
-        if state.tracker.step == 0:
-            writer.add_audio(f"signal/sample_{nb}.wav",
-                             np.asarray(audio)[nb, 0], state.tracker.step, sr)
-        writer.add_audio(f"recons/sample_{nb}.wav", recons[nb, 0],
-                         state.tracker.step, sr)
+    try:
+        for nb in range(recons.shape[0]):
+            if state.tracker.step == 0:
+                writer.add_audio(f"signal/sample_{nb}.wav",
+                                 np.asarray(audio)[nb, 0],
+                                 state.tracker.step, sr)
+            writer.add_audio(f"recons/sample_{nb}.wav", recons[nb, 0],
+                             state.tracker.step, sr)
+    except (ImportError, ModuleNotFoundError):
+        # tensorboardX add_audio needs soundfile; fall back to wav artifacts
+        out_dir = Path(writer.logdir) / "samples"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        from ..data.audio_io import write_wav
+
+        for nb in range(recons.shape[0]):
+            write_wav(out_dir / f"recons_{state.tracker.step}_{nb}.wav",
+                      recons[nb], sr)
     mask_imp = out.get("mask_imp")
     if mask_imp is not None:
         mask = np.asarray(mask_imp) * 0.7
