@@ -113,3 +113,33 @@ def test_data_parallel_train_step(setup):
     # gradient sync: params identical across devices (replicated output)
     leaf = new_state.gen_params["params"]["encoder"]["in_conv"]["v"]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_remat_train_step_matches(setup):
+    """Rematerialized step produces the same losses as the plain step."""
+    from vrvq_tpu.models import DAC_VRVQ, Discriminator
+    from vrvq_tpu.losses import L1Loss, MultiScaleSTFTLoss, MelSpectrogramLoss
+    from vrvq_tpu.train.state import make_optimizer
+    from vrvq_tpu.train.loop import make_train_step
+
+    gen, state, step, _ = setup
+    disc = Discriminator(periods=(2, 3), fft_sizes=(512,), rates=())
+    opt_g = make_optimizer(lr=1e-4, max_grad_norm=1e3)
+    opt_d = make_optimizer(lr=1e-4, max_grad_norm=10.0)
+    stft_l = MultiScaleSTFTLoss(window_lengths=(512,))
+    mel_l = MelSpectrogramLoss(n_mels=(40,), window_lengths=(512,),
+                               mel_fmin=(0,), mel_fmax=(None,),
+                               pow=1.0, mag_weight=0.0, sample_rate=44100)
+    step_r = jax.jit(make_train_step(gen, disc, opt_g, opt_d, LAMBDAS,
+                                     stft_l, mel_l, L1Loss(), remat=True))
+    rng = np.random.RandomState(9)
+    audio = jnp.asarray(rng.randn(4, 1, 4096).astype(np.float32) * 0.1)
+    k = jax.random.PRNGKey(5)
+    _, m_plain = step(state, audio, k)
+    _, m_remat = step_r(state, audio, k)
+    np.testing.assert_allclose(float(m_remat["loss"]), float(m_plain["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        float(m_remat["other/grad_norm_g"]), float(m_plain["other/grad_norm_g"]),
+        rtol=1e-3,
+    )
