@@ -33,7 +33,7 @@ def main():
 
     model = _flagship()
 
-    batch = 8
+    batch = 16
     seconds = 10.0
     n_samples = int(seconds * SAMPLE_RATE)
     # pad to hop multiple so the jit program is the steady-state shape
