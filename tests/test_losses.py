@@ -130,3 +130,18 @@ def test_cal_entropy_uniform_is_full():
 def test_mean_std_nan_safe():
     m, s = mean_std(np.array([1.0, np.nan, 3.0]))
     assert m == 2.0
+
+
+def test_nsim_quality_ordering():
+    """NSIM: identical signals score 1.0; noisier recon scores lower."""
+    from vrvq_tpu.metrics import nsim, cal_metrics
+
+    rng = np.random.RandomState(8)
+    t = np.arange(44100) / 44100
+    ref = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None, None]
+    perfect = nsim(ref, ref)
+    slight = nsim(ref + 0.01 * rng.randn(*ref.shape).astype(np.float32), ref)
+    heavy = nsim(ref + 0.3 * rng.randn(*ref.shape).astype(np.float32), ref)
+    assert perfect > 0.999
+    assert perfect >= slight > heavy
+    assert cal_metrics(ref, ref, loss_fn="ViSQOL") > 0.999

@@ -159,6 +159,28 @@ class MOEResidualVectorQuantize(nn.Module):
             "mask_imp": mask_imp,
         }
 
+    def from_latents(self, latents: jnp.ndarray):
+        """latents (B, T, sum d) -> (z_q, z_p, codes); same capability
+        extension as the VBR quantizer (reference raises NotImplementedError,
+        models/dac_moe.py:175-176)."""
+        dims = [0]
+        for d in self.codebook_dims:
+            dims.append(dims[-1] + d)
+        n_codebooks = 0
+        for i in range(len(dims)):
+            if dims[i] <= latents.shape[2]:
+                n_codebooks = i
+        z_q = 0.0
+        z_p = []
+        codes = []
+        for i in range(n_codebooks):
+            j, k = dims[i], dims[i + 1]
+            z_p_i, codes_i = self.quantizers[i].decode_latents(latents[:, :, j:k])
+            z_p.append(z_p_i)
+            codes.append(codes_i)
+            z_q = z_q + self.quantizers[i].out_proj(z_p_i)
+        return z_q, jnp.concatenate(z_p, axis=2), jnp.stack(codes, axis=1)
+
     def from_codes(self, codes, mask=None, return_z_q_is=False):
         """codes(+mask) -> continuous rep (reference stubs this out)."""
         n_codebooks = codes.shape[1]
