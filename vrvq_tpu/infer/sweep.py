@@ -27,17 +27,38 @@ DEFAULT_LEVELS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1, 1.2, 1.5, 2, 2.5, 3]
 
 
 class LevelSweep:
-    """Jit-compiled encode-once / decode-per-level runner."""
+    """Jit-compiled encode-once / decode-per-level runner.
 
-    def __init__(self, model, params):
+    ``fast=True`` decodes through the fused Pallas ResidualUnit decoder
+    (ops/residual_kernel.py) — numerically equivalent to the module path to
+    f32 tolerance; the sweep runs the decoder 12x per utterance so this is
+    where the kernel pays off.
+    """
+
+    def __init__(self, model, params, fast: bool = False):
         self.model = model
         self.params = params
         self._encode = jax.jit(
             lambda p, a: model.apply(p, a, level=1.0, method=type(model).encode)
         )
-        self._decode = jax.jit(
-            lambda p, z: model.apply(p, z, method=type(model).decode)
-        )
+        if fast:
+            from ..ops.residual_kernel import fast_decoder_apply
+
+            rates = tuple(model.decoder_rates)
+            channels = model.decoder_dim
+
+            def _dec(p, z):
+                audio = fast_decoder_apply(
+                    p["params"]["decoder"], z.transpose(0, 2, 1),
+                    rates=rates, channels=channels,
+                )
+                return audio.transpose(0, 2, 1)
+
+            self._decode = jax.jit(_dec)
+        else:
+            self._decode = jax.jit(
+                lambda p, z: model.apply(p, z, method=type(model).decode)
+            )
 
     def encode(self, audio: jnp.ndarray) -> Dict:
         """audio (B, 1, T) already padded to a hop multiple."""
