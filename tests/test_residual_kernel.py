@@ -30,7 +30,12 @@ def test_fused_ru_matches_module(dilation):
                                rtol=1e-5, atol=1e-5)
 
     out_k = fused_residual_unit(x, a1, w7, b7, a2, w1, b1,
+                                dilation=dilation, t_blk=512, interpret=True,
+                                mxu_dtype='float32')
+    out_b = fused_residual_unit(x, a1, w7, b7, a2, w1, b1,
                                 dilation=dilation, t_blk=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -44,7 +49,7 @@ def test_fused_ru_non_multiple_length():
     ref = unit.apply(params, x)
     a1, w7, b7, a2, w1, b1 = _ru_params(params["params"])
     out = fused_residual_unit(x, a1, w7, b7, a2, w1, b1, dilation=3,
-                              t_blk=512, interpret=True)
+                              t_blk=512, interpret=True, mxu_dtype='float32')
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -57,7 +62,7 @@ def test_fast_decoder_matches_module():
     params = dec.init(jax.random.PRNGKey(0), z)
     ref = dec.apply(params, z)
     out = fast_decoder_apply(params["params"], z, rates=rates, channels=64,
-                             t_blk=512, interpret=True)
+                             t_blk=512, interpret=True, mxu_dtype='float32')
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)

@@ -41,7 +41,8 @@ def _resolve_wn_conv(p: dict, transpose: bool = False):
 
 
 def _ru_kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref,
-               out_ref, scratch, sem, *, t_blk: int, pad: int, dilation: int):
+               out_ref, scratch, sem, *, t_blk: int, pad: int, dilation: int,
+               mxu_dtype=jnp.bfloat16):
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
@@ -63,11 +64,15 @@ def _ru_kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref,
     s = jnp.sin(a1 * xh)
     s1 = xh + (s * s) / (a1 + 1e-9)
 
+    # mxu_dtype=bf16: single-pass MXU matmuls with f32 accumulation (the
+    # audio synthesis path tolerates bf16 mantissa; codes never touch this
+    # kernel). mxu_dtype=f32 for tight numerical parity checks.
     acc = jnp.zeros((t_blk, out_ref.shape[-1]), jnp.float32)
+    s1b = s1.astype(mxu_dtype)
     for k in range(7):
         off = k * dilation
         acc = acc + jnp.dot(
-            s1[off:off + t_blk, :], w7_ref[k].astype(jnp.float32),
+            s1b[off:off + t_blk, :], w7_ref[k].astype(mxu_dtype),
             preferred_element_type=jnp.float32,
         )
     y = acc + b7_ref[...].astype(jnp.float32)
@@ -76,7 +81,7 @@ def _ru_kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref,
     s = jnp.sin(a2 * y)
     s2 = y + (s * s) / (a2 + 1e-9)
 
-    z = jnp.dot(s2, w1_ref[0].astype(jnp.float32),
+    z = jnp.dot(s2.astype(mxu_dtype), w1_ref[0].astype(mxu_dtype),
                 preferred_element_type=jnp.float32)
     z = z + b1_ref[...].astype(jnp.float32)
 
@@ -84,7 +89,8 @@ def _ru_kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dilation", "t_blk", "interpret"))
+                   static_argnames=("dilation", "t_blk", "interpret",
+                                    "mxu_dtype"))
 def fused_residual_unit(
     x: jnp.ndarray,
     alpha1: jnp.ndarray,
@@ -96,16 +102,30 @@ def fused_residual_unit(
     dilation: int = 1,
     t_blk: int = 2048,
     interpret: bool = False,
+    mxu_dtype: str = "bfloat16",
 ) -> jnp.ndarray:
     """x: (B, T, C) -> (B, T, C), padding=True ResidualUnit semantics."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t, c = x.shape
+    b, t, c_in = x.shape
     pad = 3 * dilation
+    # Mosaic DMA slices need a 128-aligned lane (channel) dim: zero-pad
+    # channels (zeros propagate exactly through snake/convs/residual)
+    c = -(-c_in // 128) * 128
+    if c != c_in:
+        dc = c - c_in
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dc)))
+        w7 = jnp.pad(w7, ((0, 0), (0, dc), (0, dc)))
+        w1 = jnp.pad(w1, ((0, 0), (0, dc), (0, dc)))
+        b7 = jnp.pad(b7, (0, dc))
+        b1 = jnp.pad(b1, (0, dc))
+        alpha1 = jnp.pad(alpha1, (0, dc), constant_values=1.0)
+        alpha2 = jnp.pad(alpha2, (0, dc), constant_values=1.0)
+
     # scale the block to the channel count: pallas double-buffers every
     # input, so VMEM ~ 2*(w7 + w1 + out) + scratch + live intermediates
-    t_blk = min(t_blk, max(512, (2048 * 96) // c))
+    t_blk = min(t_blk, max(512, (2048 * 128) // c))
     t_blk = min(t_blk, max(512, t))
     t_blk = -(-t_blk // 8) * 8  # 8-sublane alignment
 
@@ -118,7 +138,8 @@ def fused_residual_unit(
     n_blocks = (t + tail) // t_blk
 
     kernel = functools.partial(_ru_kernel, t_blk=t_blk, pad=pad,
-                               dilation=dilation)
+                               dilation=dilation,
+                               mxu_dtype=jnp.dtype(mxu_dtype))
     out = pl.pallas_call(
         kernel,
         grid=(b, n_blocks),
@@ -143,7 +164,7 @@ def fused_residual_unit(
         ],
         interpret=interpret,
     )(xp, alpha1, w7, b7, alpha2, w1, b1)
-    return out[:, :t, :]
+    return out[:, :t, :c_in]
 
 
 def _snake_xla(v, a):
@@ -167,6 +188,7 @@ def fast_decoder_apply(
     interpret: bool = False,
     min_fused_t: int = 8192,
     max_fused_c: int = 192,
+    mxu_dtype: str = "bfloat16",
 ) -> jnp.ndarray:
     """Run the full decoder with ResidualUnits fused in Pallas.
 
@@ -207,7 +229,7 @@ def fast_decoder_apply(
             if fusable and (x.shape[1] >= min_fused_t or interpret):
                 x = fused_residual_unit(
                     x, a1, w7, b7, a2, w1, b1, dilation=dilation,
-                    t_blk=t_blk, interpret=interpret,
+                    t_blk=t_blk, interpret=interpret, mxu_dtype=mxu_dtype,
                 )
             else:
                 x = fused_residual_unit_reference(
