@@ -89,3 +89,26 @@ def test_chunked_codes_match_unchunked_interior(proc, tone):
     enc = proc._encode_nopad(jnp.asarray(x), 4, 1.0)
     first = np.asarray(enc["codes"])
     np.testing.assert_array_equal(f.codes[..., : first.shape[-1]], first)
+
+
+def test_moe_model_streaming(tmp_path):
+    """CodecProcessor works with the DAC_MOE variant too."""
+    from vrvq_tpu.models import DAC_MOE
+
+    m = DAC_MOE(encoder_dim=8, decoder_dim=64, n_codebooks=4,
+                codebook_size=32, codebook_dim=4, model_type="VBR",
+                level_min=1.0, level_max=1.0)
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, jnp.zeros((1, 1, 4096)), level=1.0)
+    proc = CodecProcessor(m, params)
+
+    t = np.arange(int(1.2 * 44100)) / 44100
+    x = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    path = tmp_path / "moe.wav"
+    write_wav(path, x, 44100)
+
+    f = proc.compress(path, win_duration=0.5, n_quantizers=4)
+    out = proc.decompress(f)
+    assert out.audio_data.shape == (1, 1, f.original_length)
+    assert np.isfinite(out.numpy()).all()

@@ -235,13 +235,19 @@ class DAC_MOE(nn.Module):
         return int(np.prod(self.encoder_rates))
 
     @property
-    def delay(self) -> int:
+    def conv_specs(self):
         # MOE router is a Linear, not a conv, so the delay walk only sees
         # the encoder/decoder/projection convs.
-        specs = codec.model_conv_specs(
+        return codec.model_conv_specs(
             self.encoder_rates, self.decoder_rates, self.n_codebooks, vbr=False
         )
-        return codec.delay(specs)
+
+    @property
+    def delay(self) -> int:
+        return codec.delay(self.conv_specs)
+
+    def get_output_length(self, input_length: int) -> int:
+        return codec.output_length(self.conv_specs, input_length)
 
     def setup(self):
         latent_dim = self.resolved_latent_dim
