@@ -143,3 +143,38 @@ def test_remat_train_step_matches(setup):
         float(m_remat["other/grad_norm_g"]), float(m_plain["other/grad_norm_g"]),
         rtol=1e-3,
     )
+
+
+def test_split_steps_match_fused(setup):
+    """d_step+g_step sequence produces the same losses as the fused step."""
+    from vrvq_tpu.models import Discriminator
+    from vrvq_tpu.losses import L1Loss, MultiScaleSTFTLoss, MelSpectrogramLoss
+    from vrvq_tpu.train.state import make_optimizer
+    from vrvq_tpu.train.loop import make_split_train_steps
+
+    gen, state, fused_step, _ = setup
+    disc = Discriminator(periods=(2, 3), fft_sizes=(512,), rates=())
+    opt_g = make_optimizer(lr=1e-4, max_grad_norm=1e3)
+    opt_d = make_optimizer(lr=1e-4, max_grad_norm=10.0)
+    stft_l = MultiScaleSTFTLoss(window_lengths=(512,))
+    mel_l = MelSpectrogramLoss(n_mels=(40,), window_lengths=(512,),
+                               mel_fmin=(0,), mel_fmax=(None,),
+                               pow=1.0, mag_weight=0.0, sample_rate=44100)
+    d_step, g_step = make_split_train_steps(
+        gen, disc, opt_g, opt_d, LAMBDAS, stft_l, mel_l, L1Loss()
+    )
+    d_step = jax.jit(d_step)
+    g_step = jax.jit(g_step)
+
+    rng = np.random.RandomState(11)
+    audio = jnp.asarray(rng.randn(4, 1, 4096).astype(np.float32) * 0.1)
+    k = jax.random.PRNGKey(6)
+
+    _, m_fused = fused_step(state, audio, k)
+    s1, m_d = d_step(state, audio, k)
+    s2, m_g = g_step(s1, audio, k)
+    np.testing.assert_allclose(float(m_d["adv/disc_loss"]),
+                               float(m_fused["adv/disc_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_g["loss"]), float(m_fused["loss"]),
+                               rtol=1e-4)
+    assert int(s2.step) == int(state.step) + 1
