@@ -138,10 +138,30 @@ def load(
     mel_loss = MelSpectrogramLoss(**mel_kwargs)
 
     lambdas = cfg.get("lambdas", {})
-    train_step = make_train_step(
-        generator, discriminator, opt_g, opt_d, lambdas,
-        stft_loss, mel_loss, waveform_loss,
-    )
+    remat = bool(cfg.get("remat", False))
+    if cfg.get("split_train_step", False):
+        # two jit programs (disc, gen): halves peak compile memory for the
+        # full-size model at the cost of one extra generator forward
+        from .loop import make_split_train_steps
+
+        d_step, g_step = make_split_train_steps(
+            generator, discriminator, opt_g, opt_d, lambdas,
+            stft_loss, mel_loss, waveform_loss, remat=remat,
+        )
+        d_jit = jax.jit(d_step, donate_argnums=(0,))
+        g_jit = jax.jit(g_step, donate_argnums=(0,))
+
+        def train_step(state, audio, rng):
+            state, m_d = d_jit(state, audio, rng)
+            state, m_g = g_jit(state, audio, rng)
+            m_g.update(m_d)
+            return state, m_g
+    else:
+        fused = make_train_step(
+            generator, discriminator, opt_g, opt_d, lambdas,
+            stft_loss, mel_loss, waveform_loss, remat=remat,
+        )
+        train_step = jax.jit(fused, donate_argnums=(0,))
     val_step = make_val_step(generator, stft_loss, mel_loss, waveform_loss)
 
     sample = jnp.zeros(
@@ -176,7 +196,7 @@ def load(
         generator=generator,
         discriminator=discriminator,
         train_state=train_state,
-        train_step=jax.jit(train_step, donate_argnums=(0,)),
+        train_step=train_step,
         val_step=jax.jit(val_step),
         stft_loss=stft_loss,
         mel_loss=mel_loss,
