@@ -177,3 +177,23 @@ def test_receptive_field_finite():
     analytic = 2 * codec.delay(specs) + 4 * m.hop_length
     assert 1000 < rf <= analytic
     assert rf < T
+
+
+def test_flagship_param_counts_match_reference():
+    """Parameter counts of the full-size vrvq_a2 topology must match the
+    reference-derived sizes (SURVEY: enc 22.3M + dec 54.1M + RVQ 0.21M +
+    imp 4.9M = 81.6M gen; disc 42.5M)."""
+    m = DAC_VRVQ(
+        encoder_dim=64, encoder_rates=(2, 4, 8, 8), decoder_dim=1536,
+        decoder_rates=(8, 8, 4, 2), n_codebooks=8, codebook_size=1024,
+        codebook_dim=8, model_type="VBR", level_min=0.125, level_max=6.0,
+    )
+    params = _init(m, jnp.zeros((1, 1, 1024)))
+    tree = params["params"]
+
+    def count(sub):
+        return sum(x.size for x in jax.tree_util.tree_leaves(sub))
+
+    assert abs(count(tree["encoder"]) / 1e6 - 22.31) < 0.05
+    assert abs(count(tree["decoder"]) / 1e6 - 54.10) < 0.05
+    assert abs(count(tree) / 1e6 - 81.56) < 0.1
