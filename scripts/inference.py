@@ -44,17 +44,20 @@ def inference(cfg):
             "vbr_dropout": jax.random.PRNGKey(2),
         }
         params = model.init(rngs, sample, level=1.0)
-        src = ckpt_path or (os.path.join(ckpt_dir, tag) if ckpt_dir else None)
-        if src:
-            from vrvq_tpu.train.loop import init_train_state  # noqa: F401
-            import orbax.checkpoint as ocp
+        if ckpt_dir or ckpt_path:
+            # rebuild the abstract TrainState (same optimizer chain as the
+            # trainer) and restore the tagged orbax checkpoint
+            from vrvq_tpu.models import Discriminator
+            from vrvq_tpu.train.loop import init_train_state
+            from vrvq_tpu.train.state import make_optimizer
 
-            checkpointer = ocp.StandardCheckpointer()
-            restored = checkpointer.restore(
-                Path(src).resolve() / "state"
-                if (Path(src) / "state").exists() else Path(src).resolve()
-            )
-            params = restored["gen_params"] if "gen_params" in restored else restored
+            disc = Discriminator(**cfg.kwargs("Discriminator"))
+            opt_g = make_optimizer(max_grad_norm=1e3)
+            opt_d = make_optimizer(max_grad_norm=10.0)
+            abstract = init_train_state(model, disc, opt_g, opt_d, sample)
+            base = ckpt_path or ckpt_dir
+            restored = ckpt.load_checkpoint(base, abstract, tag)
+            params = restored.gen_params
 
     loader = AudioLoader(sources=[cfg.get("data_dir")], shuffle=False)
     num_examples = cfg.get("num_examples", 30)

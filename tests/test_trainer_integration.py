@@ -132,3 +132,46 @@ def test_train_checkpoint_resume_infer(env):
         loaded = json.load(f)
     for v in loaded.values():
         assert np.isfinite(v["sisdr"]) and v["kbps"] > 0
+
+
+def test_inference_cli(env):
+    """scripts/inference.py end-to-end via subprocess against the trained
+    checkpoint (reference: scripts/inference.py:26-122 CLI)."""
+    import os
+    import subprocess
+    import sys
+    import yaml
+
+    root, data, cfg = env
+    save_path = Path(str(root / "ckpt"))
+    if not (save_path / "latest" / "state").exists():
+        pytest.skip("training test must run first")
+
+    # write the tiny config as a yml the CLI can load
+    cfg_dict = {k: v for k, v in cfg.to_dict().items()
+                if not k.startswith(("train/", "val/"))}
+    cfg_path = root / "tiny.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    repo = Path(__file__).resolve().parents[1]
+    env_vars = dict(os.environ)
+    env_vars["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "inference.py"),
+         "--args.load", str(cfg_path),
+         "--ckpt_dir", str(save_path),
+         "--tag", "latest",
+         "--data_dir", str(data),
+         "--save_result_dir", str(root / "cli_results"),
+         "--num_examples", "1",
+         "--duration", "0.2"],
+        capture_output=True, text=True, env=env_vars, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta_files = list((root / "cli_results").rglob("metadata.json"))
+    assert meta_files, out.stdout
+    loaded = json.loads(meta_files[0].read_text())
+    assert len(loaded) == 12  # default level list
+    for v in loaded.values():
+        assert "sisdr" in v and "kbps" in v
