@@ -49,3 +49,26 @@ def test_cli_overrides():
     assert cfg.kwargs("DAC_VRVQ")["n_codebooks"] == 16
     assert cfg["batch_size"] == 8
     assert cfg["resume"] is True
+
+
+def test_24kbps_model_builds_and_encodes():
+    """The 28-codebook (~24 kbps) variant (conf/base_24kbps.yml) works
+    end-to-end at tiny dims."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vrvq_tpu.models import DAC_VRVQ
+
+    cfg = Config.load(REPO / "conf/base_24kbps.yml", base_dir=REPO)
+    kw = cfg.kwargs("DAC_VRVQ")
+    assert kw["n_codebooks"] == 28
+    kw.update(encoder_dim=8, decoder_dim=64, codebook_size=16,
+              model_type="VBR", level_min=0.125, level_max=6.0)
+    m = DAC_VRVQ(**kw)
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 2048).astype(np.float32))
+    params = m.init(rngs, x, level=1.0)
+    out = m.apply(params, x, level=1.0)
+    assert out["codes"].shape == (1, 28, 4)
+    assert out["mask_imp"].shape == (1, 28, 4)
