@@ -12,6 +12,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS") not in (None, "", "axon"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from vrvq_tpu.config import parse_args

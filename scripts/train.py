@@ -6,10 +6,18 @@ torchrun/MASTER_ADDR equivalent); single-host multi-chip needs no flags —
 the ``data`` mesh picks up every local device.
 """
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+# honor an explicit JAX_PLATFORMS even when a sitecustomize pre-registered
+# another platform (e.g. this container's remote-TPU plugin)
+if os.environ.get("JAX_PLATFORMS") not in (None, "", "axon"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from vrvq_tpu.config import parse_args
 from vrvq_tpu.parallel.mesh import initialize_multihost

@@ -112,3 +112,10 @@ def test_moe_model_streaming(tmp_path):
     out = proc.decompress(f)
     assert out.audio_data.shape == (1, 1, f.original_length)
     assert np.isfinite(out.numpy()).all()
+
+
+def test_compress_window_too_small_raises(proc, tone):
+    """A window below the receptive field must fail loudly, not emit an
+    empty stream."""
+    with pytest.raises(ValueError, match="win_duration"):
+        proc.compress(tone, win_duration=0.3, n_quantizers=2)

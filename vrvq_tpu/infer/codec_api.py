@@ -123,6 +123,13 @@ class CodecProcessor:
                 math.ceil(n_samples / model.hop_length) * model.hop_length
             )
             hop = self.model_nopad.get_output_length(n_samples)
+            if hop <= 0:
+                min_win = (2 * delay + model.hop_length) / model.sample_rate
+                raise ValueError(
+                    f"win_duration={win_duration}s is smaller than the "
+                    f"model's receptive field; the padding-free window "
+                    f"produces no output. Use win_duration > {min_win:.2f}s."
+                )
             codes_list = []
             counts_list = []
             total = data.shape[-1]
