@@ -144,3 +144,30 @@ def test_init_effective_weight_equals_v():
         np.linalg.norm(np.asarray(v).reshape(-1, 8), axis=0),
         rtol=1e-6,
     )
+
+
+def test_snake_pallas_matches_reference():
+    """The standalone Pallas snake path (CPU lowering) matches the XLA one."""
+    from vrvq_tpu.ops.snake import snake_pallas, snake_reference
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 1024, 16).astype(np.float32))
+    alpha = jnp.asarray(np.abs(rng.randn(16)).astype(np.float32) + 0.1)
+    ref = snake_reference(x, alpha)
+    out = snake_pallas(x, alpha, block_t=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # awkward shapes fall back to the XLA path
+    x2 = jnp.asarray(rng.randn(1, 1000, 16).astype(np.float32))
+    out2 = snake_pallas(x2, alpha, block_t=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2),
+                               np.asarray(snake_reference(x2, alpha)),
+                               rtol=1e-6)
+
+
+def test_signal_default_stft_params():
+    from vrvq_tpu.audio import Signal
+
+    sig = Signal(np.zeros((1, 1, 1000), np.float32), 44100)
+    assert sig.stft_params.window_length == 2048
+    assert sig.stft_params.hop_length == 512

@@ -52,10 +52,13 @@ class Signal:
         audio_data = _ensure_bct(audio_data)
         self.audio_data = audio_data
         self.sample_rate = int(sample_rate)
-        self.stft_params = stft_params or STFTParams(
-            window_length=min(2048, max(16, 2 ** int(math.ceil(math.log2(0.032 * sample_rate))))),
-            hop_length=None or min(512, max(4, 2 ** int(math.ceil(math.log2(0.032 * sample_rate))) // 4)),
-        )
+        if stft_params is None:
+            # audiotools default: 32 ms window rounded up to a power of 2,
+            # hop = window / 4 (2048/512 at 44.1 kHz)
+            window = 2 ** int(math.ceil(math.log2(0.032 * sample_rate)))
+            stft_params = STFTParams(window_length=window,
+                                     hop_length=window // 4)
+        self.stft_params = stft_params
         self.metadata = dict(metadata or {})
         self.stft_data = None
         self.path_to_file = None

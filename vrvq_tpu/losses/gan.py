@@ -65,8 +65,8 @@ class GANLoss:
         from ..audio import Signal
 
         fa = jnp.asarray(fake.audio_data if isinstance(fake, Signal) else fake)
-        d_fake, d_real = self._fmaps(jax.lax.stop_gradient(fa)), None
         ra = jnp.asarray(real.audio_data if isinstance(real, Signal) else real)
+        d_fake = self._fmaps(jax.lax.stop_gradient(fa))
         d_real = self._fmaps(ra)
         return discriminator_loss(d_fake, d_real)
 

@@ -224,8 +224,11 @@ def fast_decoder_apply(
         for j, dilation in enumerate((1, 3, 9)):
             a1, w7, b7, a2, w1, b1 = _ru_params(bp[f"res{j}"])
             # fuse only where it wins AND the stage weights fit VMEM
-            # (w7 is 7*C*C*4B: C=768 alone exceeds the 16MB budget)
-            fusable = x.shape[-1] <= max_fused_c
+            # (w7 is 7*C*C*4B: C=768 alone exceeds the 16MB budget);
+            # compiled pallas is TPU-only — CPU takes the XLA path
+            fusable = x.shape[-1] <= max_fused_c and (
+                interpret or jax.default_backend() != "cpu"
+            )
             if fusable and (x.shape[1] >= min_fused_t or interpret):
                 x = fused_residual_unit(
                     x, a1, w7, b7, a2, w1, b1, dilation=dilation,

@@ -29,8 +29,9 @@ def _snake_kernel(x_ref, alpha_ref, out_ref):
     out_ref[...] = x + (s * s) / (alpha + 1e-9)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t",))
-def snake_pallas(x: jnp.ndarray, alpha: jnp.ndarray, block_t: int = 512) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def snake_pallas(x: jnp.ndarray, alpha: jnp.ndarray, block_t: int = 512,
+                 interpret: bool = False) -> jnp.ndarray:
     """Pallas snake for (B, T, C) blocks; one pass over HBM.
 
     Only used when the activation is not adjacent to a conv XLA could fuse
@@ -54,6 +55,7 @@ def snake_pallas(x: jnp.ndarray, alpha: jnp.ndarray, block_t: int = 512) -> jnp.
         ],
         out_specs=pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x, alpha.astype(x.dtype))
 
 
