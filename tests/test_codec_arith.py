@@ -66,7 +66,46 @@ def test_dacfile_roundtrip(tmp_path):
     )
     p = f.save(tmp_path / "x.dac")
     g = codec.DACFile.load(p)
-    np.testing.assert_array_equal(g.codes, codes.astype(np.int32))
+    # VBR files pack: only the kept (mask-on) codes are preserved
+    stage = np.arange(8).reshape(1, 8, 1)
+    mask = stage < counts[:, None, :]
+    np.testing.assert_array_equal(g.codes[mask], codes.astype(np.int32)[mask])
+    assert np.all(g.codes[~mask] == 0)
     np.testing.assert_array_equal(g.vbr_counts, counts)
     assert g.sample_rate == 44100 and g.chunk_length == 86
     assert g.original_length == 44100 and g.padding is True
+
+
+def test_vbr_packing_roundtrip():
+    from vrvq_tpu.models.codec import pack_vbr_codes, unpack_vbr_codes
+
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 1024, (2, 8, 50)).astype(np.int32)
+    counts = rng.randint(1, 9, (2, 50)).astype(np.uint8)
+    packed = pack_vbr_codes(codes, counts)
+    assert packed.shape == (int(counts.sum()),)
+    rec = unpack_vbr_codes(packed, counts, 8)
+    stage = np.arange(8).reshape(1, 8, 1)
+    mask = stage < counts[:, None, :]
+    np.testing.assert_array_equal(rec[mask], codes[mask])
+    assert np.all(rec[~mask] == 0)
+
+
+def test_dacfile_vbr_size_scales_with_level(tmp_path):
+    """The .dac file must actually be smaller at lower VBR levels."""
+    rng = np.random.RandomState(1)
+    codes = rng.randint(0, 1024, (1, 8, 860)).astype(np.uint16)
+    meta = dict(chunk_length=860, original_length=44100 * 10, input_db=-16.0,
+                channels=1, sample_rate=44100, padding=True)
+    low = codec.DACFile(codes=codes, vbr_counts=np.full((1, 860), 1, np.uint8),
+                        **meta)
+    high = codec.DACFile(codes=codes, vbr_counts=np.full((1, 860), 8, np.uint8),
+                         **meta)
+    p_low = low.save(tmp_path / "low.dac")
+    p_high = high.save(tmp_path / "high.dac")
+    import os
+    assert os.path.getsize(p_low) < os.path.getsize(p_high) / 4
+    # roundtrip keeps the kept codes
+    g = codec.DACFile.load(p_low)
+    np.testing.assert_array_equal(g.codes[:, 0], codes.astype(np.int32)[:, 0])
+    assert np.all(g.codes[:, 1:] == 0)

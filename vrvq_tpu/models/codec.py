@@ -122,14 +122,45 @@ def model_conv_specs(
     )
 
 
+def pack_vbr_codes(codes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Drop the masked-off stage codes from a VBR stream.
+
+    codes (B, Nq, T), counts (B, T) -> flat uint16 of length counts.sum(),
+    ordered (b, t, stage). This is what makes the ``.dac`` file size
+    actually scale with the target level — the reference stores nothing for
+    VBR (compress is a stub) and CBR streams are always Nq*T codes.
+    """
+    codes = np.asarray(codes)
+    counts = np.asarray(counts)
+    nq = codes.shape[1]
+    stage = np.arange(nq).reshape(1, nq, 1)
+    mask = stage < counts[:, None, :]
+    # (B, T, Nq) order so each frame's kept codes are contiguous
+    return codes.transpose(0, 2, 1)[mask.transpose(0, 2, 1)].astype(np.uint16)
+
+
+def unpack_vbr_codes(packed: np.ndarray, counts: np.ndarray,
+                     n_codebooks: int) -> np.ndarray:
+    """Inverse of pack_vbr_codes; masked-off positions are 0 (they are
+    multiplied out by the stage mask at decode)."""
+    counts = np.asarray(counts)
+    b, t = counts.shape
+    stage = np.arange(n_codebooks).reshape(1, n_codebooks, 1)
+    mask = (stage < counts[:, None, :]).transpose(0, 2, 1)  # (B, T, Nq)
+    out = np.zeros((b, t, n_codebooks), np.int32)
+    out[mask] = np.asarray(packed).astype(np.int32)
+    return out.transpose(0, 2, 1)
+
+
 @dataclass
 class DACFile:
     """The ``.dac`` bitstream: uint16 codes + metadata via np.save.
 
     File-format compatible with the reference (models/dac_base.py:19-58) so
-    bitstreams round-trip between frameworks. VBR extension: an optional
-    per-frame codebook-count array (``vbr_counts``) so variable-bitrate
-    streams can be stored compactly (the reference left VBR compression
+    CBR bitstreams round-trip between frameworks. VBR extension: when a
+    per-frame codebook-count array (``vbr_counts``) is present, only the
+    kept stage codes are stored (``pack_vbr_codes``), so the file size is
+    genuinely variable-bitrate (the reference left VBR compression
     unimplemented, models/dac_base.py:161).
     """
 
@@ -145,20 +176,28 @@ class DACFile:
     vbr_counts: Union[np.ndarray, None] = None  # (B, T) uint8, codebooks/frame
 
     def save(self, path) -> Path:
-        artifacts = {
-            "codes": np.asarray(self.codes).astype(np.uint16),
-            "metadata": {
-                "input_db": np.float32(self.input_db),
-                "original_length": self.original_length,
-                "sample_rate": self.sample_rate,
-                "chunk_length": self.chunk_length,
-                "channels": self.channels,
-                "padding": self.padding,
-                "dac_version": self.dac_version,
-            },
+        metadata = {
+            "input_db": np.float32(self.input_db),
+            "original_length": self.original_length,
+            "sample_rate": self.sample_rate,
+            "chunk_length": self.chunk_length,
+            "channels": self.channels,
+            "padding": self.padding,
+            "dac_version": self.dac_version,
         }
         if self.vbr_counts is not None:
-            artifacts["vbr_counts"] = np.asarray(self.vbr_counts).astype(np.uint8)
+            counts = np.asarray(self.vbr_counts).astype(np.uint8)
+            artifacts = {
+                "codes_packed": pack_vbr_codes(self.codes, counts),
+                "vbr_counts": counts,
+                "n_codebooks": int(np.asarray(self.codes).shape[1]),
+                "metadata": metadata,
+            }
+        else:
+            artifacts = {
+                "codes": np.asarray(self.codes).astype(np.uint16),
+                "metadata": metadata,
+            }
         path = Path(path).with_suffix(".dac")
         with open(path, "wb") as f:
             np.save(f, artifacts)
@@ -167,7 +206,6 @@ class DACFile:
     @classmethod
     def load(cls, path) -> "DACFile":
         artifacts = np.load(path, allow_pickle=True)[()]
-        codes = artifacts["codes"].astype(np.int32)
         metadata = dict(artifacts["metadata"])
         if metadata.get("dac_version", None) not in SUPPORTED_VERSIONS:
             raise RuntimeError(
@@ -175,4 +213,10 @@ class DACFile:
             )
         metadata["input_db"] = float(metadata["input_db"])
         vbr_counts = artifacts.get("vbr_counts", None)
+        if "codes_packed" in artifacts:
+            codes = unpack_vbr_codes(
+                artifacts["codes_packed"], vbr_counts, artifacts["n_codebooks"]
+            )
+        else:
+            codes = artifacts["codes"].astype(np.int32)
         return cls(codes=codes, vbr_counts=vbr_counts, **metadata)
