@@ -145,3 +145,17 @@ def test_nsim_quality_ordering():
     assert perfect > 0.999
     assert perfect >= slight > heavy
     assert cal_metrics(ref, ref, loss_fn="ViSQOL") > 0.999
+
+
+def test_msd_with_rate_resamples():
+    """MSD at rate 2 (disabled by default config but a reference capability,
+    models/discriminator.py:68-98) runs and halves the time axis."""
+    from vrvq_tpu.models.discriminator import MSD
+
+    msd = MSD(rate=2, sample_rate=44100)
+    x = jnp.zeros((1, 8192, 1))
+    params = msd.init(jax.random.PRNGKey(0), x)
+    fmap = msd.apply(params, x)
+    assert len(fmap) == 7
+    # downsampled by 2 then strided convs (4,4,4,4): time ~ 8192/2/256
+    assert fmap[-1].shape[1] <= 8192 // 2 // 64

@@ -179,3 +179,18 @@ def test_vbr_from_codes_with_mask():
     np.testing.assert_allclose(
         np.asarray(z_q2), np.asarray(out["z_q"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_decode_latents_tie_break_first_index():
+    """Exact distance ties must resolve to the FIRST codebook index
+    (torch .max semantics, reference models/quantize.py:101)."""
+    vq = VectorQuantize(input_dim=8, codebook_size=4, codebook_dim=2)
+    variables = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8)))
+    params = dict(variables["params"])
+    # duplicate codebook rows -> guaranteed ties
+    cb = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], np.float32)
+    params["codebook"] = jnp.asarray(cb)
+    latents = jnp.asarray(np.array([[[2.0, 0.0], [0.0, 3.0]]], np.float32))
+    _, idx = vq.apply({"params": params}, latents,
+                      method=VectorQuantize.decode_latents)
+    np.testing.assert_array_equal(np.asarray(idx), [[0, 2]])
