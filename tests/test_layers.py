@@ -171,3 +171,14 @@ def test_signal_default_stft_params():
     sig = Signal(np.zeros((1, 1, 1000), np.float32), 44100)
     assert sig.stft_params.window_length == 2048
     assert sig.stft_params.hop_length == 512
+
+
+def test_denoising_block_shape():
+    """DenoisingBlock (defined-but-unused upstream, models/layers.py:113-135)."""
+    from vrvq_tpu.nn import DenoisingBlock
+
+    layer = DenoisingBlock(dim=8)
+    x = jnp.zeros((1, 64, 8))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (1, 64, 8)
