@@ -75,3 +75,20 @@ def test_istft_roundtrip():
     spec = stft_ops.stft(jnp.asarray(x), 512, 128)
     rec = np.asarray(stft_ops.istft(spec, 512, 128, 4096))
     np.testing.assert_allclose(rec, x, rtol=1e-3, atol=1e-4)
+
+
+def test_resample_jax_matches_scipy_gain():
+    """In-graph resampler must be unity-gain and track scipy's polyphase
+    (code-review finding: the old kernel had ~`down`x DC gain)."""
+    from vrvq_tpu.ops.resample import resample_jax, resample_poly_np
+
+    t = np.arange(8192) / 44100
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    for new_sr in (22050, 88200):
+        ref = resample_poly_np(x, 44100, new_sr)
+        out = np.asarray(resample_jax(jnp.asarray(x), 44100, new_sr))
+        n = min(ref.shape[-1], out.shape[-1]) - 200
+        # compare away from the edges; amplitudes must match (unity gain)
+        a, b = ref[0, 100:n], out[0, 100:n]
+        assert abs(np.abs(a).max() - np.abs(b).max()) < 0.02
+        np.testing.assert_allclose(a, b, atol=0.02)

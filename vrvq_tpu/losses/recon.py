@@ -138,7 +138,12 @@ class MultiScaleSTFTLoss:
 class MelSpectrogramLoss:
     """Multi-scale mel L1, optionally with per-sample 1/level weighting
     (reference: models/loss.py:257-401; the vrvq_a2 config uses 7 scales,
-    pow=1, mag_weight=0)."""
+    pow=1, mag_weight=0).
+
+    Deviation: the reference's (unused) ``levels`` branch drops the
+    ``log_weight`` factor (models/loss.py:381-389); we apply it in both
+    branches for consistency.
+    """
 
     n_mels: Sequence[int] = (150, 80)
     window_lengths: Sequence[int] = (2048, 512)
@@ -180,7 +185,7 @@ class MelSpectrogramLoss:
                 loss = loss + self.log_weight * jnp.mean(log_diff)
                 loss = loss + self.mag_weight * jnp.mean(mag_diff)
             else:
-                per = jnp.mean(log_diff, axis=(1, 2, 3)) + \
+                per = self.log_weight * jnp.mean(log_diff, axis=(1, 2, 3)) + \
                     self.mag_weight * jnp.mean(mag_diff, axis=(1, 2, 3))
                 loss = loss + jnp.mean(per / levels)
         return loss

@@ -163,43 +163,16 @@ class MOEResidualVectorQuantize(nn.Module):
         """latents (B, T, sum d) -> (z_q, z_p, codes); same capability
         extension as the VBR quantizer (reference raises NotImplementedError,
         models/dac_moe.py:175-176)."""
-        dims = [0]
-        for d in self.codebook_dims:
-            dims.append(dims[-1] + d)
-        n_codebooks = 0
-        for i in range(len(dims)):
-            if dims[i] <= latents.shape[2]:
-                n_codebooks = i
-        z_q = 0.0
-        z_p = []
-        codes = []
-        for i in range(n_codebooks):
-            j, k = dims[i], dims[i + 1]
-            z_p_i, codes_i = self.quantizers[i].decode_latents(latents[:, :, j:k])
-            z_p.append(z_p_i)
-            codes.append(codes_i)
-            z_q = z_q + self.quantizers[i].out_proj(z_p_i)
-        return z_q, jnp.concatenate(z_p, axis=2), jnp.stack(codes, axis=1)
+        from .quantize import _rvq_from_latents
+
+        return _rvq_from_latents(self.quantizers, self.codebook_dims, latents)
 
     def from_codes(self, codes, mask=None, return_z_q_is=False):
         """codes(+mask) -> continuous rep (reference stubs this out)."""
-        n_codebooks = codes.shape[1]
-        z_q = 0.0
-        z_p = []
-        z_q_is = []
-        for i in range(n_codebooks):
-            z_p_i = self.quantizers[i].decode_code(codes[:, i, :])
-            z_p.append(z_p_i)
-            z_q_i = self.quantizers[i].out_proj(z_p_i)
-            if mask is not None:
-                z_q_i = z_q_i * mask[:, i, :, None]
-            z_q = z_q + z_q_i
-            if return_z_q_is:
-                z_q_is.append(z_q_i)
-        z_p = jnp.concatenate(z_p, axis=2)
-        if return_z_q_is:
-            return z_q, z_p, codes, jnp.stack(z_q_is, axis=1)
-        return z_q, z_p, codes
+        from .quantize import _rvq_from_codes
+
+        return _rvq_from_codes(self.quantizers, codes, mask=mask,
+                               return_z_q_is=return_z_q_is)
 
 
 class DAC_MOE(nn.Module):

@@ -37,6 +37,51 @@ def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(norm, eps)
 
 
+def _rvq_from_codes(quantizers, codes, mask=None, return_z_q_is=False):
+    """Shared codes -> continuous-rep reconstruction for every RVQ variant
+    (reference: models/quantize.py:217-249; mask gating is our VBR
+    extension — the reference stubs VBR from_codes)."""
+    n_codebooks = codes.shape[1]
+    z_q = 0.0
+    z_p = []
+    z_q_is = []
+    for i in range(n_codebooks):
+        z_p_i = quantizers[i].decode_code(codes[:, i, :])
+        z_p.append(z_p_i)
+        z_q_i = quantizers[i].out_proj(z_p_i)
+        if mask is not None:
+            z_q_i = z_q_i * mask[:, i, :, None]
+        z_q = z_q + z_q_i
+        if return_z_q_is:
+            z_q_is.append(z_q_i)
+    z_p = jnp.concatenate(z_p, axis=2)
+    if return_z_q_is:
+        return z_q, z_p, codes, jnp.stack(z_q_is, axis=1)
+    return z_q, z_p, codes
+
+
+def _rvq_from_latents(quantizers, codebook_dims, latents):
+    """Shared latents -> (z_q, z_p, codes) for every RVQ variant
+    (reference: models/quantize.py:251-285)."""
+    dims = [0]
+    for d in codebook_dims:
+        dims.append(dims[-1] + d)
+    n_codebooks = 0
+    for i in range(len(dims)):
+        if dims[i] <= latents.shape[2]:
+            n_codebooks = i
+    z_q = 0.0
+    z_p = []
+    codes = []
+    for i in range(n_codebooks):
+        j, k = dims[i], dims[i + 1]
+        z_p_i, codes_i = quantizers[i].decode_latents(latents[:, :, j:k])
+        z_p.append(z_p_i)
+        codes.append(codes_i)
+        z_q = z_q + quantizers[i].out_proj(z_p_i)
+    return z_q, jnp.concatenate(z_p, axis=2), jnp.stack(codes, axis=1)
+
+
 class VectorQuantize(nn.Module):
     """Single factorized-VQ stage (reference: models/quantize.py:21-103).
 
@@ -202,42 +247,13 @@ class ResidualVectorQuantize(nn.Module):
 
         Reference: models/quantize.py:217-249.
         """
-        n_codebooks = codes.shape[1]
-        z_q = 0.0
-        z_p = []
-        z_q_is = []
-        for i in range(n_codebooks):
-            z_p_i = self.quantizers[i].decode_code(codes[:, i, :])
-            z_p.append(z_p_i)
-            z_q_i = self.quantizers[i].out_proj(z_p_i)
-            z_q = z_q + z_q_i
-            if return_z_q_is:
-                z_q_is.append(z_q_i)
-        z_p = jnp.concatenate(z_p, axis=2)
-        if return_z_q_is:
-            return z_q, z_p, codes, jnp.stack(z_q_is, axis=1)
-        return z_q, z_p, codes
+        return _rvq_from_codes(self.quantizers, codes,
+                               return_z_q_is=return_z_q_is)
 
     def from_latents(self, latents: jnp.ndarray):
         """latents (B, T, sum d) -> (z_q, z_p, codes)
         (reference: models/quantize.py:251-285)."""
-        dims = [0]
-        for d in self.codebook_dims:
-            dims.append(dims[-1] + d)
-        n_codebooks = 0
-        for i in range(len(dims)):
-            if dims[i] <= latents.shape[2]:
-                n_codebooks = i
-        z_q = 0.0
-        z_p = []
-        codes = []
-        for i in range(n_codebooks):
-            j, k = dims[i], dims[i + 1]
-            z_p_i, codes_i = self.quantizers[i].decode_latents(latents[:, :, j:k])
-            z_p.append(z_p_i)
-            codes.append(codes_i)
-            z_q = z_q + self.quantizers[i].out_proj(z_p_i)
-        return z_q, jnp.concatenate(z_p, axis=2), jnp.stack(codes, axis=1)
+        return _rvq_from_latents(self.quantizers, self.codebook_dims, latents)
 
 
 class VBRResidualVectorQuantize(nn.Module):
@@ -450,20 +466,4 @@ class VBRResidualVectorQuantize(nn.Module):
     def from_latents(self, latents: jnp.ndarray):
         """Same semantics as the CBR ``from_latents`` (the reference raises
         NotImplementedError for VBR, models/quantize.py:448-449)."""
-        dims = [0]
-        for d in self.codebook_dims:
-            dims.append(dims[-1] + d)
-        n_codebooks = 0
-        for i in range(len(dims)):
-            if dims[i] <= latents.shape[2]:
-                n_codebooks = i
-        z_q = 0.0
-        z_p = []
-        codes = []
-        for i in range(n_codebooks):
-            j, k = dims[i], dims[i + 1]
-            z_p_i, codes_i = self.quantizers[i].decode_latents(latents[:, :, j:k])
-            z_p.append(z_p_i)
-            codes.append(codes_i)
-            z_q = z_q + self.quantizers[i].out_proj(z_p_i)
-        return z_q, jnp.concatenate(z_p, axis=2), jnp.stack(codes, axis=1)
+        return _rvq_from_latents(self.quantizers, self.codebook_dims, latents)

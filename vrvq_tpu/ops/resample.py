@@ -52,10 +52,14 @@ def resample_jax(x, orig_sr: int, new_sr: int, zeros: int = 24):
     frac = Fraction(new_sr, orig_sr)
     up, down = frac.numerator, frac.denominator
 
-    t = np.arange(-zeros * down, zeros * down + 1) / down
-    cutoff = min(1.0, up / down)
-    window = np.kaiser(len(t), 14.769656459379492)
-    filt = (np.sinc(t * cutoff) * cutoff * window).astype(np.float32)
+    # lowpass at the zero-stuffed intermediate rate sr*up: normalized
+    # cutoff c = min(1/up, 1/down) (anti-image + anti-alias), passband
+    # gain `up` to undo the zero-stuffing attenuation
+    c = min(1.0 / up, 1.0 / down)
+    halfwidth = int(np.ceil(zeros / c))
+    n = np.arange(-halfwidth, halfwidth + 1)
+    window = np.kaiser(len(n), 14.769656459379492)
+    filt = (up * c * np.sinc(c * n) * window).astype(np.float32)
     # Build polyphase bank: phase p uses taps filt[p::up] after upsampling.
     # Implement via lhs_dilation (upsample) + conv + stride (downsample).
     lead = x.shape[:-1]
