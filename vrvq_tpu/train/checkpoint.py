@@ -75,12 +75,29 @@ def checkpoint_tags(step: int, save_iters: List[int], is_best: bool) -> List[str
 
 
 # ------------------------------------------------------- torch conversion
+def _child_indices(keys, prefix: str) -> List[int]:
+    """Sorted distinct integer child indices under ``prefix.`` in a flat
+    torch state_dict key set (e.g. prefix='encoder.block' -> [0,1,...])."""
+    import re
+
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.")
+    found = {int(m.group(1)) for k in keys for m in [pat.match(k)] if m}
+    return sorted(found)
+
+
 def convert_torch_state_dict(
     state_dict: Dict[str, "np.ndarray"],
-    n_codebooks: int,
-    model_type: str = "VBR",
+    n_codebooks: Optional[int] = None,
+    model_type: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Map a reference DAC_VRVQ torch ``state_dict`` onto our param pytree.
+
+    The topology (number of encoder/decoder blocks, residual units per
+    block, codebooks, importance-subnet depth) is inferred from the
+    state_dict keys themselves, so non-default configs (e.g. 3 strides or
+    28 codebooks) convert correctly. ``n_codebooks``/``model_type`` are
+    accepted for backward compatibility and validated against the
+    inferred structure.
 
     Key mapping (torch layout -> ours):
       * Conv1d ``weight_v`` (out, in, k) -> ``v`` (k, in, out);
@@ -90,7 +107,11 @@ def convert_torch_state_dict(
       * codebook ``codebook.weight`` -> ``codebook``
 
     Accepts numpy arrays (call ``.numpy()`` on torch tensors first).
+    Structure references: models/dac_vrvq.py:19-80 (Encoder/Decoder
+    Sequentials), models/quantize.py (quantizers ModuleList),
+    models/importance_subnet.py:18-34 (in_block + blocks).
     """
+    keys = set(state_dict)
     params: Dict[str, Any] = {}
 
     def put(path: List[str], leaf):
@@ -123,52 +144,79 @@ def convert_torch_state_dict(
         snake(path + ["snake2"], f"{prefix}.block.2")
         conv(path + ["conv2"], f"{prefix}.block.3")
 
-    # ---- encoder (reference models/dac_vrvq.py:19-48: Sequential
-    # [in_conv, EncoderBlock x4, Snake, out_conv])
-    conv(["encoder", "in_conv"], "encoder.block.0")
-    for i in range(4):
-        blk = f"encoder.block.{i + 1}.block"
-        base = ["encoder", f"block_{i}"]
-        for j in range(3):
-            res_unit(base + [f"res{j}"], f"{blk}.{j}")
-        snake(base + ["snake"], f"{blk}.3")
-        conv(base + ["down"], f"{blk}.4")
-    snake(["encoder", "snake"], "encoder.block.5")
-    conv(["encoder", "out_conv"], "encoder.block.6")
+    def is_res_unit(prefix: str) -> bool:
+        return f"{prefix}.block.0.alpha" in keys
 
-    # ---- quantizer
-    for i in range(n_codebooks):
+    # ---- encoder (reference models/dac_vrvq.py:19-48: Sequential
+    # [in_conv, EncoderBlock x n_strides, Snake, out_conv])
+    enc_blocks = [
+        i for i in _child_indices(keys, "encoder.block")
+        if _child_indices(keys, f"encoder.block.{i}.block")
+    ]
+    conv(["encoder", "in_conv"], "encoder.block.0")
+    for n, i in enumerate(enc_blocks):
+        blk = f"encoder.block.{i}.block"
+        base = ["encoder", f"block_{n}"]
+        res = [j for j in _child_indices(keys, blk) if is_res_unit(f"{blk}.{j}")]
+        for n_r, j in enumerate(res):
+            res_unit(base + [f"res{n_r}"], f"{blk}.{j}")
+        snake(base + ["snake"], f"{blk}.{len(res)}")
+        conv(base + ["down"], f"{blk}.{len(res) + 1}")
+    snake(["encoder", "snake"], f"encoder.block.{len(enc_blocks) + 1}")
+    conv(["encoder", "out_conv"], f"encoder.block.{len(enc_blocks) + 2}")
+
+    # ---- quantizer (models/quantize.py: ModuleList of VectorQuantize)
+    cb = _child_indices(keys, "quantizer.quantizers")
+    if n_codebooks is not None and len(cb) != n_codebooks:
+        raise ValueError(
+            f"state_dict has {len(cb)} codebooks, caller said {n_codebooks}"
+        )
+    for i in cb:
         q = f"quantizer.quantizers.{i}"
         base = ["quantizer", f"quantizers_{i}"]
         conv(base + ["in_proj"], f"{q}.in_proj", dense=True)
         conv(base + ["out_proj"], f"{q}.out_proj", dense=True)
         put(base + ["codebook"], state_dict[f"{q}.codebook.weight"])
 
-    if model_type == "VBR":
+    # ---- importance subnet (VBR only; models/importance_subnet.py:18-34)
+    vbr = any(k.startswith("quantizer.imp_subnet.") for k in keys)
+    if model_type is not None and (model_type == "VBR") != vbr:
+        raise ValueError(
+            f"caller said model_type={model_type} but imp_subnet keys "
+            f"{'present' if vbr else 'absent'}"
+        )
+    if vbr:
         imp = "quantizer.imp_subnet"
         base = ["quantizer", "imp_subnet"]
         snake(base + ["in_snake"], f"{imp}.in_block.0")
         conv(base + ["in_conv"], f"{imp}.in_block.1")
-        for i in range(5):
+        for i in _child_indices(keys, f"{imp}.blocks"):
             snake(base + [f"snake_{i}"], f"{imp}.blocks.{i}.0")
             conv(base + [f"conv_{i}"], f"{imp}.blocks.{i}.1")
 
-    # ---- decoder (Sequential [in_conv, DecoderBlock x4, Snake, out_conv, Tanh])
+    # ---- decoder (Sequential [in_conv, DecoderBlock x n_rates, Snake,
+    # out_conv, Tanh]; models/dac_vrvq.py:51-80)
+    dec_blocks = [
+        i for i in _child_indices(keys, "decoder.model")
+        if _child_indices(keys, f"decoder.model.{i}.block")
+    ]
     conv(["decoder", "in_conv"], "decoder.model.0")
-    for i in range(4):
-        blk = f"decoder.model.{i + 1}.block"
-        base = ["decoder", f"block_{i}"]
+    for n, i in enumerate(dec_blocks):
+        blk = f"decoder.model.{i}.block"
+        base = ["decoder", f"block_{n}"]
         snake(base + ["snake"], f"{blk}.0")
         conv(base + ["up"], f"{blk}.1", transpose=True)
-        for j in range(3):
-            res_unit(base + [f"res{j}"], f"{blk}.{j + 2}")
-    snake(["decoder", "snake"], "decoder.model.5")
-    conv(["decoder", "out_conv"], "decoder.model.6")
+        res = [j for j in _child_indices(keys, blk) if is_res_unit(f"{blk}.{j}")]
+        for n_r, j in enumerate(res):
+            res_unit(base + [f"res{n_r}"], f"{blk}.{j}")
+    snake(["decoder", "snake"], f"decoder.model.{len(dec_blocks) + 1}")
+    conv(["decoder", "out_conv"], f"decoder.model.{len(dec_blocks) + 2}")
 
     return {"params": params}
 
 
-def load_torch_checkpoint(path, n_codebooks: int, model_type: str = "VBR"):
+def load_torch_checkpoint(path, n_codebooks: Optional[int] = None,
+                          model_type: Optional[str] = None):
     """Load a reference ``weights.pth`` and convert to our pytree."""
     import torch
 
