@@ -159,3 +159,57 @@ def test_msd_with_rate_resamples():
     assert len(fmap) == 7
     # downsampled by 2 then strided convs (4,4,4,4): time ~ 8192/2/256
     assert fmap[-1].shape[1] <= 8192 // 2 // 64
+
+
+def test_sdr_differs_from_si_sdr_on_filtered_estimate():
+    """A delayed copy of the reference: the SDR distortion filter absorbs
+    the delay (high SDR) while SI-SDR's pure gain cannot (low SI-SDR)."""
+    from vrvq_tpu.metrics import sdr
+
+    rng = np.random.RandomState(4)
+    ref = rng.randn(1, 1, 8192).astype(np.float32)
+    est = np.roll(ref, 3, axis=-1)
+    est[..., :3] = 0.0
+    high = sdr(est, ref)
+    low = si_sdr(est, ref)
+    assert high > 25.0, f"filtered-projection SDR should be high, got {high}"
+    assert low < 5.0, f"SI-SDR should be low for a delayed copy, got {low}"
+
+
+def test_sdr_matches_least_squares_oracle():
+    """sdr() (FFT correlations + Toeplitz solve) equals a brute-force
+    least-squares FIR projection computed directly from the signals."""
+    from vrvq_tpu.metrics import sdr
+
+    rng = np.random.RandomState(5)
+    n, L = 2048, 64
+    ref = rng.randn(n)
+    # estimate = filtered ref + noise
+    taps = rng.randn(8) * np.array([1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01, 0.005])
+    est = np.convolve(ref, taps)[:n] + 0.1 * rng.randn(n)
+
+    # brute-force: design matrix of L shifted copies of ref (zero-padded),
+    # matching the correlation convention of the FFT version
+    T = np.zeros((n, L))
+    for k in range(L):
+        T[k:, k] = ref[: n - k]
+    h, *_ = np.linalg.lstsq(T, est, rcond=None)
+    proj = T @ h
+    expect = 10 * np.log10(np.sum(proj**2) / np.sum((est - proj) ** 2))
+
+    got = sdr(est[None, None], ref[None, None], filter_length=L)
+    assert abs(got - expect) < 0.1, (got, expect)
+
+
+def test_cal_metrics_sdr_dispatch():
+    from vrvq_tpu.metrics import cal_metrics
+
+    rng = np.random.RandomState(6)
+    ref = rng.randn(1, 1, 4096).astype(np.float32)
+    est = ref + 0.01 * rng.randn(1, 1, 4096).astype(np.float32)
+    v_sdr = cal_metrics(est, ref, loss_fn="SDR")
+    v_sisdr = cal_metrics(est, ref, loss_fn="SI-SDR")
+    assert np.isfinite(v_sdr) and np.isfinite(v_sisdr)
+    # near-identical signals: both high, and SDR >= SI-SDR (filter has
+    # strictly more freedom than a scalar gain)
+    assert v_sdr >= v_sisdr - 0.2

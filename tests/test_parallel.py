@@ -68,19 +68,42 @@ def test_zero_sharded_opt_state_train_step():
         opt_g=zero_shard_opt_state(state.opt_g, mesh),
         opt_d=zero_shard_opt_state(state.opt_d, mesh),
     )
+    # the pre-step state must actually hold ZeRO-sharded Adam moments
+    def data_sharded_leaves(tree):
+        return [
+            l for l in jax.tree_util.tree_leaves(tree)
+            if hasattr(l, "sharding")
+            and l.sharding.spec == jax.sharding.PartitionSpec("data")
+        ]
+
+    pre_sharded = data_sharded_leaves(state.opt_g)
+    assert len(pre_sharded) > 0, "zero_shard_opt_state sharded nothing"
+    for leaf in pre_sharded:
+        shard_shapes = {s.data.shape[0] for s in leaf.addressable_shards}
+        assert shard_shapes == {leaf.shape[0] // 8}, (
+            "moment leaf not evenly distributed over the mesh"
+        )
+
     rng = np.random.RandomState(0)
     audio = shard_batch(
         jnp.asarray(rng.randn(8, 1, 2048).astype(np.float32) * 0.1), mesh
     )
-    new_state, metrics = jax.jit(step)(state, audio, jax.random.PRNGKey(0))
+    # preserve the input placement across the update (the production
+    # pattern: opt state stays distributed step over step)
+    state_shardings = jax.tree_util.tree_map(lambda x: x.sharding, state)
+    step_j = jax.jit(step, out_shardings=(state_shardings, None))
+    new_state, metrics = step_j(state, audio, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
-    # a sharded Adam moment leaf exists
-    mu_leaves = jax.tree_util.tree_leaves(new_state.opt_g)
-    assert any(
-        hasattr(l, "sharding") and l.sharding.spec == ("data",)
-        for l in mu_leaves
-        if hasattr(l, "ndim") and l.ndim >= 1
-    ) or True  # update may resharden; the functional check is the step ran
+
+    post_sharded = data_sharded_leaves(new_state.opt_g)
+    assert len(post_sharded) == len(pre_sharded), (
+        "Adam moment leaves lost their ZeRO sharding across the update"
+    )
+    # and the moments actually changed (the update really ran distributed)
+    mu_pre = pre_sharded[0]
+    mu_post = post_sharded[0]
+    assert mu_pre.shape == mu_post.shape
+    assert not np.allclose(np.asarray(mu_pre), np.asarray(mu_post))
 
 
 def test_sharded_batched_eval():

@@ -89,13 +89,54 @@ def snr(recons, signal, zero_mean: bool = False) -> float:
     return float(np.mean(10.0 * np.log10(val)))
 
 
-def sdr(recons, signal) -> float:
-    """Classic (non-permutation) signal-to-distortion ratio via projection
-    onto the reference (single-source case of torchmetrics SDR)."""
+def sdr(recons, signal, filter_length: int = 512,
+        zero_mean: bool = False, load_diag: Optional[float] = None) -> float:
+    """BSS-eval-style signal-to-distortion ratio with an FIR distortion
+    filter (the single-source torchmetrics ``SignalDistortionRatio`` the
+    reference dispatches at models/utils.py:91-143).
+
+    The reference signal may be filtered by the best ``filter_length``-tap
+    FIR filter h before comparison:
+
+        h* = argmin_h ||est - ref * h||^2   (Toeplitz normal equations)
+        SDR = 10 log10(||ref * h*||^2 / ||est - ref * h*||^2)
+
+    Unlike ``si_sdr`` (a pure gain), this forgives linear filtering —
+    e.g. a delayed or EQ'd but otherwise perfect estimate scores high SDR
+    but low SI-SDR.
+    """
+    from scipy.linalg import solve_toeplitz
+
     est, ref = _pair(recons, signal)
+    est = est.reshape(-1, est.shape[-1])
+    ref = ref.reshape(-1, ref.shape[-1])
     if np.abs(est).max() == 0 or np.abs(ref).max() == 0:
         return float("nan")
-    return si_sdr(recons, signal, zero_mean=True)
+    if zero_mean:
+        est = est - est.mean(-1, keepdims=True)
+        ref = ref - ref.mean(-1, keepdims=True)
+
+    n = est.shape[-1]
+    n_fft = 1 << int(math.ceil(math.log2(2 * n - 1)))
+    vals = []
+    for e, s in zip(est, ref):
+        s_f = np.fft.rfft(s, n_fft)
+        e_f = np.fft.rfft(e, n_fft)
+        # autocorrelation of the reference and cross-correlation ref->est,
+        # first filter_length lags (linear, thanks to the zero padding)
+        acf = np.fft.irfft(np.abs(s_f) ** 2, n_fft)[:filter_length]
+        xcorr = np.fft.irfft(np.conj(s_f) * e_f, n_fft)[:filter_length]
+        if load_diag is not None:
+            acf = acf.copy()
+            acf[0] += load_diag
+        h = solve_toeplitz(acf, xcorr)
+        # ||ref*h||^2 = c.h (orthogonal projection), residual = ||e||^2 - c.h
+        proj = float(np.dot(xcorr, h))
+        energy = float(np.dot(e, e))
+        eps = np.finfo(np.float64).eps
+        ratio = proj / max(energy - proj, eps)
+        vals.append(10.0 * np.log10(max(ratio, eps)))
+    return float(np.mean(vals))
 
 
 def l1(recons, signal) -> float:
