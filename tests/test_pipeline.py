@@ -157,3 +157,64 @@ def test_level_sweep(tmp_path, wav_dir):
     with open(tmp_path / "results" / "0" / "metadata.json") as f:
         loaded = json.load(f)
     assert all("sisdr" in v and "kbps" in v for v in loaded.values())
+
+
+def test_align_lists_inserts_placeholders():
+    from vrvq_tpu.data.loaders import align_lists
+
+    a = [{"path": "root1/s1/x.wav"}, {"path": "root1/s2/x.wav"},
+         {"path": "root1/s3/x.wav"}]
+    b = [{"path": "root2/s1/y.wav"}, {"path": "root2/s3/y.wav"}]
+    align_lists([a, b])
+    assert len(a) == len(b) == 3
+    assert b[1]["path"] == "none"  # s2 missing from the second list
+    assert b[2]["path"].endswith("s3/y.wav")
+
+
+def test_aligned_dataset_draws_matching_items(tmp_path):
+    """Two loaders over parallel directory trees: aligned draws must pair
+    the same-named subdirectory and excerpt window (reference
+    data/loaders.py:143,165-170 + aligned get-time forwarding)."""
+    rng = np.random.RandomState(0)
+    for root in ("clean", "noisy"):
+        for sub in ("s0", "s1", "s2"):
+            d = tmp_path / root / sub
+            d.mkdir(parents=True)
+            x = (0.3 * rng.randn(44100)).astype(np.float32)
+            write_wav(d / f"{root}.wav", x, 44100)
+
+    l_clean = AudioLoader(sources=[str(tmp_path / "clean")], shuffle=False)
+    l_noisy = AudioLoader(sources=[str(tmp_path / "noisy")], shuffle=False)
+    ds = AudioDataset(
+        {"clean": l_clean, "noisy": l_noisy}, sample_rate=44100,
+        n_examples=6, duration=0.1, aligned=True,
+    )
+    for idx in range(6):
+        item = ds[idx]
+        p0 = Path(item["clean"]["path"])
+        p1 = Path(item["noisy"]["path"])
+        assert p0.parent.name == p1.parent.name
+        assert item["clean"]["signal"].metadata.get("offset") == pytest.approx(
+            item["noisy"]["signal"].metadata.get("offset")
+        )
+
+
+def test_aligned_dataset_mismatched_lists(tmp_path):
+    """A subdir present in one root only: aligned draw yields silence from
+    the loader that lacks it, instead of mispairing."""
+    rng = np.random.RandomState(1)
+    subs_a = ("s0", "s1", "s2")
+    subs_b = ("s0", "s2")  # s1 missing
+    for root, subs in (("a", subs_a), ("b", subs_b)):
+        for sub in subs:
+            d = tmp_path / root / sub
+            d.mkdir(parents=True)
+            x = (0.3 * rng.randn(44100)).astype(np.float32)
+            write_wav(d / "x.wav", x, 44100)
+
+    la = AudioLoader(sources=[str(tmp_path / "a")], shuffle=False)
+    lb = AudioLoader(sources=[str(tmp_path / "b")], shuffle=False)
+    AudioDataset({"a": la, "b": lb}, sample_rate=44100, n_examples=3,
+                 duration=0.1, aligned=True)
+    assert [x["path"] for x in lb.audio_lists[0]][1] == "none"
+    assert len(lb.audio_lists[0]) == len(la.audio_lists[0])

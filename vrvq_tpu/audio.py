@@ -108,9 +108,9 @@ class Signal:
 
     @classmethod
     def load(cls, path, offset: float = 0.0, duration: Optional[float] = None) -> "Signal":
-        from .data.audio_io import read_wav
+        from .data.audio_io import read_audio
 
-        data, sr = read_wav(path, offset=offset, duration=duration)
+        data, sr = read_audio(path, offset=offset, duration=duration)
         sig = cls(data[None], sr)
         sig.path_to_file = str(path)
         sig.metadata["offset"] = offset
@@ -121,9 +121,9 @@ class Signal:
     def excerpt(cls, path, offset: Optional[float] = None,
                 duration: Optional[float] = None, state=None) -> "Signal":
         """Random excerpt of a file (audiotools AudioSignal.excerpt)."""
-        from .data.audio_io import wav_info
+        from .data.audio_io import audio_info
 
-        info = wav_info(path)
+        info = audio_info(path)
         total = info.duration
         if duration is None:
             duration = total

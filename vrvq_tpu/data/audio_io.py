@@ -1,9 +1,15 @@
-"""Audio file IO: WAV read/write + source scanning.
+"""Audio file IO: WAV + FLAC read, WAV write, source scanning.
 
-Replaces the reference's dependence on audiotools/soundfile/ffmpeg for the
-formats the pipeline actually uses (44.1 kHz wav datasets). A native C++
-reader (vrvq_tpu/native/io) accelerates bulk decoding when built; this
-module transparently falls back to the pure-numpy parser.
+Replaces the reference's dependence on audiotools/soundfile/ffmpeg
+(reference data/loaders.py:81-104). WAV is parsed here (numpy) and FLAC
+in vrvq_tpu/data/flac_py.py; a native C++ reader (vrvq_tpu/native/io)
+accelerates both when built, with transparent fallback.
+
+``AUDIO_EXTENSIONS`` lists only formats that actually decode — an
+undecodable or unknown file raises ``UnsupportedFormatError`` from
+``read_audio`` (the loaders turn that into a loud warn-once + silence,
+preserving the reference's fault-tolerance without silently training on
+zeros).
 
 Reference call sites: data/loaders.py:29 (util.read_sources),
 data/loaders.py:75-112 (AudioSignal load paths), scripts/inference.py:114
@@ -20,7 +26,11 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3", ".mp4"]
+AUDIO_EXTENSIONS = [".wav", ".flac"]
+
+
+class UnsupportedFormatError(ValueError):
+    """File extension/bitstream has no decoder in this build."""
 
 
 @dataclasses.dataclass
@@ -175,6 +185,57 @@ def write_wav(path, data: np.ndarray, sample_rate: int,
         f.write(b"data")
         f.write(struct.pack("<I", len(payload)))
         f.write(payload)
+
+
+def read_flac(
+    path,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+) -> Tuple[np.ndarray, int]:
+    """Read a FLAC file -> ((C, T) float32 in [-1, 1], sample_rate)."""
+    native = _native_reader()
+    if native is not None and hasattr(native, "read_flac"):
+        out = native.read_flac(str(path), offset, duration)
+        if out is not None:
+            return out
+    from .flac_py import read_flac as _read_flac_py
+
+    return _read_flac_py(path, offset=offset, duration=duration)
+
+
+def audio_info(path):
+    """Header-only info (sample_rate/channels/frames) for any supported
+    format."""
+    suffix = Path(path).suffix.lower()
+    if suffix == ".wav":
+        return wav_info(path)
+    if suffix == ".flac":
+        from .flac_py import flac_info
+
+        return flac_info(path)
+    raise UnsupportedFormatError(
+        f"no decoder for '{suffix}' files (supported: {AUDIO_EXTENSIONS}): {path}"
+    )
+
+
+def read_audio(
+    path,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+) -> Tuple[np.ndarray, int]:
+    """Decode any supported format -> ((C, T) float32, sample_rate).
+
+    Raises ``UnsupportedFormatError`` for formats without a decoder
+    instead of silently yielding silence.
+    """
+    suffix = Path(path).suffix.lower()
+    if suffix == ".wav":
+        return read_wav(path, offset=offset, duration=duration)
+    if suffix == ".flac":
+        return read_flac(path, offset=offset, duration=duration)
+    raise UnsupportedFormatError(
+        f"no decoder for '{suffix}' files (supported: {AUDIO_EXTENSIONS}): {path}"
+    )
 
 
 # ----------------------------------------------------------- source scanning

@@ -51,6 +51,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_long),
             ]
+            if hasattr(lib, "vrvqio_read_flac"):
+                lib.vrvqio_read_flac.restype = ctypes.c_int
+                lib.vrvqio_read_flac.argtypes = list(lib.vrvqio_read_wav.argtypes)
+                lib.vrvqio_flac_info.restype = ctypes.c_int
+                lib.vrvqio_flac_info.argtypes = list(lib.vrvqio_wav_info.argtypes)
             _LIB = lib
         except OSError:
             _LIB = None
@@ -103,3 +108,32 @@ def loudness(audio, sample_rate: int, block_size: float = 0.4):
     if val <= -1e8:
         return float("-inf")
     return float(val)
+
+
+def read_flac(path: str, offset: float = 0.0,
+              duration: Optional[float] = None) -> Optional[Tuple[np.ndarray, int]]:
+    """Native FLAC decode -> ((C, T) float32, sr), or None when the lib is
+    missing/old or the decode fails (caller falls back to flac_py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vrvqio_read_flac"):
+        return None
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    frames = ctypes.c_long()
+    if lib.vrvqio_flac_info(path.encode(), ctypes.byref(sr),
+                            ctypes.byref(ch), ctypes.byref(frames)) != 0:
+        return None
+    want = frames.value if duration is None else int(round(duration * sr.value))
+    cap = max(want * ch.value, 1)
+    buf = np.empty(cap, dtype=np.float32)
+    rc = lib.vrvqio_read_flac(
+        path.encode(), float(offset),
+        -1.0 if duration is None else float(duration),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(frames),
+    )
+    if rc != 0:
+        return None
+    t = frames.value
+    data = buf[: t * ch.value].reshape(t, ch.value).T.copy()
+    return data, sr.value
