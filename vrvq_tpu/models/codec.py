@@ -108,6 +108,48 @@ def quantizer_conv_specs(n_codebooks: int, vbr: bool,
     return specs
 
 
+def decoder_halo_frames(rates: Sequence[int]) -> int:
+    """Receptive radius of the decoder in latent frames (rounded up).
+
+    A decoder output sample depends on latent frames within this radius,
+    so chunked decoding with a halo of this many frames reproduces the
+    one-shot decode bit-exactly away from the clip edges. Derived from the
+    decoder topology (reference models/dac_vrvq.py:51-80): in-conv k=7,
+    per rate r a transposed conv k=2r (radius <= 1 input frame) + three
+    ResidualUnits (k=7, dilation 1/3/9 => radius 3*dil samples at the
+    current rate), then a k=7 out conv at sample rate.
+    """
+    radius = 3.0  # in_conv k=7 at latent rate
+    up = 1
+    for r in rates:
+        radius += 1.0 / up  # transposed conv k=2r stride r
+        up *= r
+        for dil in (1, 3, 9):
+            radius += 3.0 * dil / up  # ResidualUnit k=7 dilated conv
+    radius += 3.0 / up  # out_conv k=7 at sample rate
+    return math.ceil(radius) + 1
+
+
+def encoder_halo_frames(strides: Sequence[int]) -> int:
+    """Receptive radius of the encoder in LATENT frames (rounded up).
+
+    A latent frame depends on input samples within this radius*hop, so
+    chunked encoding with this halo reproduces the one-shot encode exactly
+    away from the clip edges. Topology (reference models/dac_vrvq.py:19-48):
+    in-conv k=7, per stride s three ResidualUnits (k=7, dil 1/3/9) then a
+    strided conv k=2s, finally a k=3 out conv at latent rate.
+    """
+    radius = 3.0  # in_conv k=7, input rate
+    r = 1
+    for s in strides:
+        radius += (3.0 + 9.0 + 27.0) * r  # ResidualUnits at current rate
+        radius += s * r  # strided conv k=2s
+        r *= s
+    radius += 1.0 * r  # out_conv k=3 at latent rate
+    hop = int(np.prod(list(strides)))
+    return math.ceil(radius / hop) + 1
+
+
 def model_conv_specs(
     encoder_rates: Sequence[int],
     decoder_rates: Sequence[int],

@@ -220,11 +220,16 @@ def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
     return shard_batch(audio, state.mesh)
 
 
-def validate(state: State, batch_size: int, num_batches: int = 4) -> Dict:
-    """Run the val loop and return mean metrics
-    (reference: scripts/train.py:407-415)."""
+def validate(state: State, batch_size: int,
+             num_batches: Optional[int] = None) -> Dict:
+    """Run the val loop over the FULL val set (the reference iterates the
+    whole val dataloader, scripts/train.py:407-415, and 'best' checkpoint
+    selection rides on this mean); ``num_batches`` can cap it for smoke
+    tests."""
     results = []
-    n = min(len(state.val_data), batch_size * num_batches)
+    n = len(state.val_data)
+    if num_batches is not None:
+        n = min(n, batch_size * num_batches)
     for start in range(0, n, batch_size):
         items = [state.val_data[i] for i in range(start, min(start + batch_size, n))]
         batch = state.val_data.collate(items)
