@@ -1,9 +1,18 @@
-"""Benchmark: 44.1 kHz encode+decode realtime factor per chip.
+"""Benchmark: 44.1 kHz encode+decode realtime factor per chip (+MFU,
+train-step, and large-batch chunked-decode configs).
 
 Runs the flagship (82M-param, vrvq_a2 topology) DAC_VRVQ wav->codes->wav
 forward on the available accelerator and reports the realtime factor
 (seconds of audio processed per second of wall clock). The BASELINE.json
 north-star is >=50x realtime per v5e chip, so vs_baseline = value / 50.
+
+Extra fields in the same JSON line:
+  * mfu              — model FLOPs utilization of the forward
+                        (FLOPs from XLA cost analysis / time / peak)
+  * train_step_ms    — full GAN train step (gen+disc, split-step),
+                        batch 16 x 0.38 s
+  * rtf_b32_chunked  — encode + memory-bounded chunked decode at
+                        batch 32 x 10 s (one-shot decode OOMs HBM there)
 
 Prints exactly one JSON line.
 """
@@ -26,52 +35,155 @@ import numpy as np
 
 BASELINE_RTF = 50.0
 SAMPLE_RATE = 44100
+# v5e peak: 197 TFLOP/s bf16 (MXU); f32 runs through the same MXU via
+# multi-pass emulation, so bf16 peak is the honest (conservative) divisor.
+PEAK_FLOPS = 197e12
+
+
+def _sync(*host_fetches):
+    """Fetch scalars to the host — the only honest barrier through the
+    remote tunnel (block_until_ready does not synchronize here)."""
+    return [float(np.asarray(x)) for x in host_fetches]
+
+
+def _timeit(fn, n_iters=5):
+    fn()  # warmup (compile)
+    times = []
+    for _ in range(n_iters):
+        start = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - start)
+    return min(times)
+
+
+def bench_forward(model, params):
+    batch, seconds = 16, 10.0
+    n = int(seconds * SAMPLE_RATE)
+    n = ((n + 511) // 512) * 512
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def forward(params, audio):
+        out = model.apply(params, audio, level=1.0)
+        return jnp.sum(out["audio"][:, :, ::1000]), out["codes"][0, 0, 0]
+
+    dt = _timeit(lambda: _sync(*forward(params, audio)))
+    rtf = batch * (n / SAMPLE_RATE) / dt
+
+    flops = None
+    try:
+        cost = forward.lower(params, audio).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    mfu = (flops / dt / PEAK_FLOPS) if flops else None
+    return rtf, mfu
+
+
+def bench_b32_chunked(model, params):
+    """Batch 32 x 10 s via fully chunked encode+decode — the one-shot
+    program OOMs HBM at this shape in BOTH conv stacks (encoder block_0
+    holds 6.7 GB full-rate activations; decoder similar)."""
+    from vrvq_tpu.infer.chunked import forward_chunked
+
+    batch, seconds = 32, 10.0
+    n = ((int(seconds * SAMPLE_RATE) + 511) // 512) * 512
+    rng = np.random.RandomState(1)
+    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def forward(params, audio):
+        # auto chunk: even split, windows capped near 512 latent frames
+        out, codes = forward_chunked(model, params, audio, level=1.0)
+        return jnp.sum(out[:, :, ::1000]), codes[0, 0, 0]
+
+    dt = _timeit(lambda: _sync(*forward(params, audio)))
+    return batch * (n / SAMPLE_RATE) / dt
+
+
+def bench_train_step(model, params):
+    from vrvq_tpu.models import Discriminator
+    from vrvq_tpu.losses import L1Loss, MultiScaleSTFTLoss, MelSpectrogramLoss
+    from vrvq_tpu.train.state import make_optimizer
+    from vrvq_tpu.train.loop import make_split_train_steps, init_train_state
+
+    disc = Discriminator(periods=(2, 3, 5, 7, 11),
+                         fft_sizes=(2048, 1024, 512), rates=())
+    opt_g = make_optimizer(max_grad_norm=1e3)
+    opt_d = make_optimizer(max_grad_norm=10.0)
+    lambdas = {
+        "mel/loss": 15.0, "adv/feat_loss": 2.0, "adv/gen_loss": 1.0,
+        "vq/commitment_loss": 0.25, "vq/codebook_loss": 1.0,
+        "vq/rate_loss": 2.0,
+    }
+    stft_l = MultiScaleSTFTLoss()
+    mel_l = MelSpectrogramLoss(
+        n_mels=(5, 10, 20, 40, 80, 160, 320),
+        window_lengths=(32, 64, 128, 256, 512, 1024, 2048),
+        mel_fmin=(0,) * 7, mel_fmax=(None,) * 7, pow=1.0,
+        clamp_eps=1e-5, mag_weight=0.0, sample_rate=SAMPLE_RATE,
+    )
+    d_step, g_step = make_split_train_steps(
+        model, disc, opt_g, opt_d, lambdas, stft_l, mel_l, L1Loss(),
+    )
+    d_step = jax.jit(d_step, donate_argnums=0)
+    g_step = jax.jit(g_step, donate_argnums=0)
+
+    batch = 16
+    n = int(0.38 * SAMPLE_RATE)
+    n = ((n + 511) // 512) * 512
+    rng = np.random.RandomState(2)
+    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+    state = init_train_state(model, disc, opt_g, opt_d, audio[:1])
+    key = jax.random.PRNGKey(0)
+
+    def step():
+        nonlocal state
+        state, m1 = d_step(state, audio, key)
+        state, m2 = g_step(state, audio, key)
+        _sync(m2["loss"])
+
+    dt = _timeit(step, n_iters=5)
+    return dt * 1e3
 
 
 def main():
     from __graft_entry__ import _flagship, _init
 
     model = _flagship()
+    n0 = ((int(10.0 * SAMPLE_RATE) + 511) // 512) * 512
+    params = _init(model, jnp.zeros((1, 1, n0), jnp.float32))
 
-    batch = 16
-    seconds = 10.0
-    n_samples = int(seconds * SAMPLE_RATE)
-    # pad to hop multiple so the jit program is the steady-state shape
-    n_samples = ((n_samples + 511) // 512) * 512
+    rtf, mfu = bench_forward(model, params)
 
-    rng = np.random.RandomState(0)
-    audio = jnp.asarray(rng.randn(batch, 1, n_samples).astype(np.float32) * 0.1)
-    params = _init(model, audio[:1])
+    rtf_b32 = None
+    try:
+        rtf_b32 = bench_b32_chunked(model, params)
+    except Exception as e:
+        print(f"# b32 chunked bench failed: {e!r}", file=sys.stderr)
 
-    @jax.jit
-    def forward(params, audio):
-        out = model.apply(params, audio, level=1.0)
-        # tiny reductions force full execution when fetched host-side
-        # (block_until_ready alone does not synchronize through the axon
-        # tunnel, so a host fetch per call is the honest barrier)
-        return jnp.sum(out["audio"][:, :, ::1000]), out["codes"][0, 0, 0]
+    train_ms = None
+    try:
+        train_ms = bench_train_step(model, params)
+    except Exception as e:
+        print(f"# train-step bench failed: {e!r}", file=sys.stderr)
 
-    # compile + warmup
-    s, c = forward(params, audio)
-    float(s), int(c)
-
-    n_iters = 5
-    times = []
-    for _ in range(n_iters):
-        start = time.perf_counter()
-        s, c = forward(params, audio)
-        float(s), int(c)  # host fetch = sync barrier
-        times.append(time.perf_counter() - start)
-
-    audio_seconds = batch * (n_samples / SAMPLE_RATE)
-    rtf = audio_seconds / min(times)
-
-    print(json.dumps({
+    out = {
         "metric": "encode_decode_realtime_factor",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    if rtf_b32 is not None:
+        out["rtf_b32_chunked"] = round(rtf_b32, 2)
+    if train_ms is not None:
+        out["train_step_ms"] = round(train_ms, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

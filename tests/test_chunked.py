@@ -145,3 +145,32 @@ def test_forward_chunked_matches_forward():
     np.testing.assert_array_equal(np.asarray(codes_c), np.asarray(full["codes"]))
     err = np.abs(np.asarray(audio_c) - np.asarray(full["audio"])).max()
     assert err < 1e-5, err
+
+
+def test_sweep_batched_matches_sequential():
+    from vrvq_tpu.infer.sweep import LevelSweep
+
+    m = DAC_VRVQ(
+        encoder_dim=8, decoder_dim=64, n_codebooks=4, codebook_size=32,
+        codebook_dim=4, model_type="VBR", level_min=0.125, level_max=6.0,
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    hop = m.hop_length
+    params = m.init(rngs, jnp.zeros((1, 1, 4 * hop)), level=1.0)
+    rng = np.random.RandomState(5)
+    audio = jnp.asarray(rng.randn(1, 1, 40 * hop).astype(np.float32) * 0.3)
+
+    sweeper = LevelSweep(m, params)
+    levels = [0.2, 1.0, 3.0]
+    seq = sweeper.sweep(audio, levels)
+    bat = sweeper.sweep(audio, levels, batched=True)
+    for l in levels:
+        np.testing.assert_array_equal(
+            np.asarray(bat[l]["mask"]), np.asarray(seq[l]["mask"])
+        )
+        assert bat[l]["bpf"] == pytest.approx(seq[l]["bpf"])
+        err = np.abs(
+            np.asarray(bat[l]["audio"]) - np.asarray(seq[l]["audio"])
+        ).max()
+        assert err < 1e-5, (l, err)

@@ -80,19 +80,34 @@ def _quantizer_module(model):
     )
 
 
+def _auto_chunk_frames(t: int, cap: int = 512) -> int:
+    """Even split of ``t`` frames into the fewest chunks with chunk <= cap.
+
+    An even split minimizes wasted window work: ceil(t/W) windows each pay
+    2*halo overhead plus the slack of the last window, so e.g. t=862 is
+    ~20% cheaper at W=431 (2 snug windows) than at W=512 (2 windows
+    covering 1024 frames). Measured on v5e: 141x -> 166x RTF at b=32x10s.
+    """
+    n = -(-t // cap)
+    return -(-t // n)
+
+
 def decode_chunked(
     model,
     params,
     z_q: jnp.ndarray,
-    chunk_frames: int = 256,
+    chunk_frames: Optional[int] = None,
     halo_frames: Optional[int] = None,
 ) -> jnp.ndarray:
     """Decode ``z_q (B, D, T')`` -> audio ``(B, 1, T'*hop)`` in windows.
 
     Jit-safe (static shapes throughout). Falls back to one window when the
-    clip is shorter than ``chunk_frames + 2*halo``.
+    clip is shorter than ``chunk_frames + 2*halo``. ``chunk_frames=None``
+    picks an even split with windows capped near 512 frames.
     """
     hop = model.hop_length
+    if chunk_frames is None:
+        chunk_frames = _auto_chunk_frames(z_q.shape[-1])
     if halo_frames is None:
         halo_frames = codec.decoder_halo_frames(model.decoder_rates)
     decoder = _decoder_module(model)
@@ -129,7 +144,7 @@ def encode_chunked(
     audio_data: jnp.ndarray,
     n_quantizers: Optional[int] = None,
     level: Optional[float] = 1.0,
-    chunk_frames: int = 256,
+    chunk_frames: Optional[int] = None,
     halo_frames: Optional[int] = None,
 ):
     """Memory-bounded encode: run the ENCODER over latent-aligned audio
@@ -143,6 +158,8 @@ def encode_chunked(
     mode. ``audio_data`` (B, 1, T) with T a hop multiple.
     """
     hop = model.hop_length
+    if chunk_frames is None:
+        chunk_frames = _auto_chunk_frames(audio_data.shape[-1] // hop)
     if halo_frames is None:
         halo_frames = codec.encoder_halo_frames(model.encoder_rates)
     encoder = _encoder_module(model)
@@ -202,7 +219,7 @@ def forward_chunked(
     audio_data: jnp.ndarray,
     n_quantizers: Optional[int] = None,
     level: Optional[float] = 1.0,
-    chunk_frames: int = 256,
+    chunk_frames: Optional[int] = None,
 ):
     """Memory-bounded encode+decode (eval): the large-batch path for clips
     whose one-shot program exceeds HBM. Returns (audio (B,1,T), codes)."""

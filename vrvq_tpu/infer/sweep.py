@@ -9,6 +9,7 @@ work (12 decoder invocations per utterance by default).
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -29,36 +30,21 @@ DEFAULT_LEVELS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1, 1.2, 1.5, 2, 2.5, 3]
 class LevelSweep:
     """Jit-compiled encode-once / decode-per-level runner.
 
-    ``fast=True`` decodes through the fused Pallas ResidualUnit decoder
-    (ops/residual_kernel.py) — numerically equivalent to the module path to
-    f32 tolerance; the sweep runs the decoder 12x per utterance so this is
-    where the kernel pays off.
+    ``sweep(..., batched=True)`` folds all levels into one decoder launch
+    (1.5x at B=1 on v5e). A fused Pallas ResidualUnit decoder was tried
+    and measured 0.72x vs XLA (sublane-shift relayouts dominate — see
+    CLAUDE.md), so the XLA conv path is the only decode path.
     """
 
-    def __init__(self, model, params, fast: bool = False):
+    def __init__(self, model, params):
         self.model = model
         self.params = params
         self._encode = jax.jit(
             lambda p, a: model.apply(p, a, level=1.0, method=type(model).encode)
         )
-        if fast:
-            from ..ops.residual_kernel import fast_decoder_apply
-
-            rates = tuple(model.decoder_rates)
-            channels = model.decoder_dim
-
-            def _dec(p, z):
-                audio = fast_decoder_apply(
-                    p["params"]["decoder"], z.transpose(0, 2, 1),
-                    rates=rates, channels=channels,
-                )
-                return audio.transpose(0, 2, 1)
-
-            self._decode = jax.jit(_dec)
-        else:
-            self._decode = jax.jit(
-                lambda p, z: model.apply(p, z, method=type(model).decode)
-            )
+        self._decode = jax.jit(
+            lambda p, z: model.apply(p, z, method=type(model).decode)
+        )
 
     def encode(self, audio: jnp.ndarray) -> Dict:
         """audio (B, 1, T) already padded to a hop multiple."""
@@ -76,14 +62,38 @@ class LevelSweep:
         self,
         audio: jnp.ndarray,
         levels: Sequence[float] = tuple(DEFAULT_LEVELS),
+        batched: bool = False,
     ) -> Dict[float, Dict]:
-        """Full sweep; returns {level: {audio, mask, kbps, bpf}}."""
+        """Full sweep; returns {level: {audio, mask, kbps, bpf}}.
+
+        ``batched=True`` decodes ALL levels in one program call (levels
+        folded into the batch axis; one-shot decode within the HBM-proven
+        frame-batch limit, windowed beyond it) and computes every level's
+        bits-per-frame in-graph, so the whole sweep costs one decoder
+        launch and one scalar fetch. Measured 1.5x for the 12-level sweep
+        at B=1 x 10 s on v5e: 1019 ms vs 1547 ms (BASELINE.md).
+        """
         sr = self.model.sample_rate
         hop = self.model.hop_length
         n_q = self.model.n_codebooks
         bits = [int(math.log2(self.model.codebook_size))] * n_q
         enc = self.encode(audio)
         out = {}
+        if batched:
+            recons, masks, bpfs = self._decode_levels_batched(
+                self.params, enc["z_q_is"], enc["imp_map"],
+                tuple(float(l) for l in levels),
+            )
+            bpfs = np.asarray(bpfs)  # one host fetch for every level
+            for i, level in enumerate(levels):
+                bpf = float(bpfs[i])
+                out[level] = {
+                    "audio": recons[i],
+                    "mask": masks[i],
+                    "bpf": bpf,
+                    "kbps": bpf * math.floor(sr / hop) / 1000,
+                }
+            return out
         for level in levels:
             recon, mask = self.decode_at_level(enc, level)
             bpf = cal_bpf_from_mask(mask, bits)
@@ -94,6 +104,50 @@ class LevelSweep:
                 "kbps": bpf * math.floor(sr / hop) / 1000,
             }
         return out
+
+    # one-shot decode is known-good up to ~batch 24 x 862 latent frames on
+    # v5e (BASELINE.md); beyond that the conv stacks OOM and we window.
+    # Chunking costs real time at large batch (fori_loop serialization:
+    # 1450 ms vs 560 ms decode-only for 12 levels x 10 s), so it is a
+    # memory fallback, not a default.
+    _ONE_SHOT_FRAME_BATCH = 24 * 862
+
+    @functools.cached_property
+    def _decode_levels_batched(self):
+        from .chunked import decode_chunked
+
+        model = self.model
+        n_q = model.n_codebooks
+        limit = self._ONE_SHOT_FRAME_BATCH
+
+        @functools.partial(jax.jit, static_argnames=("levels",))
+        def run(params, z_q_is, imp_map, levels):
+            lv = jnp.asarray(levels, jnp.float32)  # (L,)
+            L = lv.shape[0]
+            b, _, d, t = z_q_is.shape
+            # (L*B, 1, T) scaled importance, then hard masks (L*B, Nq, T)
+            scaled = (imp_map[None] * (lv[:, None, None, None] * n_q))
+            mask = generate_mask_hard(scaled.reshape(L * b, 1, t), n_q)
+            mask_l = mask.reshape(L, b, n_q, t)
+            # masked stage sums for every level at once: (L, B, D, T)
+            z_q = jnp.einsum(
+                "bndt,lbnt->lbdt", z_q_is, mask_l.astype(z_q_is.dtype)
+            ).reshape(L * b, d, t)
+            if L * b * t <= limit:
+                audio = model.apply(params, z_q, method=type(model).decode)
+            else:
+                audio = decode_chunked(model, params, z_q)
+            # per-level bits-per-frame inside the program: one host fetch
+            # for the whole sweep instead of L tunnel round trips
+            bits = jnp.asarray(
+                [math.log2(model.codebook_size)] * n_q, jnp.float32
+            ).reshape(1, n_q, 1)
+            bpf = jnp.sum(
+                mask_l.astype(jnp.float32) * bits, axis=(1, 2, 3)
+            ) / (b * t)
+            return audio.reshape(L, b, 1, -1), mask_l, bpf
+
+        return run
 
 
 def save_results(
