@@ -64,6 +64,13 @@ def inference(cfg):
             restored = ckpt.load_checkpoint(base, abstract, tag)
             params = restored.gen_params
 
+    if cfg.get("fast", True):
+        # fold weight norm + bf16 decode: codes stay bit-exact (f32 encode);
+        # decode agreement vs f32 is far above codec SI-SDR (BASELINE.md)
+        from vrvq_tpu.infer.fast import make_inference_model
+
+        model, params = make_inference_model(model, params)
+
     loader = AudioLoader(sources=[cfg.get("data_dir")], shuffle=False)
     num_examples = cfg.get("num_examples", 30)
     levels = cfg.get("levels", DEFAULT_LEVELS)

@@ -1,2 +1,3 @@
 from .sweep import DEFAULT_LEVELS, LevelSweep, save_results
 from .codec_api import CodecProcessor
+from .fast import make_inference_model

@@ -37,7 +37,9 @@ def _decoder_module(model) -> Decoder:
         channels=model.decoder_dim,
         rates=tuple(model.decoder_rates),
         padding=True,
-        compute_dtype=model.compute_dtype,
+        compute_dtype=(getattr(model, "decoder_compute_dtype", None)
+                       or model.compute_dtype),
+        folded=getattr(model, "folded", False),
     )
 
 
@@ -48,6 +50,7 @@ def _encoder_module(model) -> Encoder:
         latent_dim=model.resolved_latent_dim,
         padding=True,
         compute_dtype=model.compute_dtype,
+        folded=getattr(model, "folded", False),
     )
 
 

@@ -196,6 +196,9 @@ class DAC_MOE(nn.Module):
     detach_imp_map_input: bool = False
     imp2mask_alpha: float = 1.0
     padding: bool = True
+    compute_dtype: str = "float32"
+    decoder_compute_dtype: Optional[str] = None  # see DAC_VRVQ / infer/fast.py
+    folded: bool = False
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -229,6 +232,8 @@ class DAC_MOE(nn.Module):
             strides=tuple(self.encoder_rates),
             latent_dim=latent_dim,
             padding=self.padding,
+            compute_dtype=self.compute_dtype,
+            folded=self.folded,
             name="encoder",
         )
         if self.model_type == "CBR":
@@ -262,6 +267,8 @@ class DAC_MOE(nn.Module):
             channels=self.decoder_dim,
             rates=tuple(self.decoder_rates),
             padding=self.padding,
+            compute_dtype=self.decoder_compute_dtype or self.compute_dtype,
+            folded=self.folded,
             name="decoder",
         )
 

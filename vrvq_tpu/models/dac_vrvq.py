@@ -36,6 +36,7 @@ class Encoder(nn.Module):
     latent_dim: int = 512
     padding: bool = True
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on MXU
+    folded: bool = False  # params hold pre-folded kernels (nn/fold.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_feat: bool = False):
@@ -43,15 +44,16 @@ class Encoder(nn.Module):
         x = x.astype(jnp.dtype(self.compute_dtype))
         d = self.d_model
         x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
-                     name="in_conv")(x)
+                     folded=self.folded, name="in_conv")(x)
         for i, stride in enumerate(self.strides):
             d *= 2
             x = EncoderBlock(d, stride=stride, padding=self.padding,
-                             name=f"block_{i}")(x)
+                             folded=self.folded, name=f"block_{i}")(x)
         feat = x
         x = Snake1d(d, name="snake")(x)
         x = WNConv1d(d, self.latent_dim, kernel_size=3, padding=1,
-                     pad_mode=pad_mode, name="out_conv")(x)
+                     pad_mode=pad_mode, folded=self.folded,
+                     name="out_conv")(x)
         # latents always hand off to the quantizer in f32 (index parity)
         x = x.astype(jnp.float32)
         if return_feat:
@@ -70,22 +72,26 @@ class Decoder(nn.Module):
     d_out: int = 1
     padding: bool = True
     compute_dtype: str = "float32"
+    folded: bool = False  # params hold pre-folded kernels (nn/fold.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad_mode = "zeros" if self.padding else "none"
         x = x.astype(jnp.dtype(self.compute_dtype))
         x = WNConv1d(self.input_channel, self.channels, kernel_size=7,
-                     padding=3, pad_mode=pad_mode, name="in_conv")(x)
+                     padding=3, pad_mode=pad_mode, folded=self.folded,
+                     name="in_conv")(x)
         output_dim = self.channels
         for i, stride in enumerate(self.rates):
             input_dim = self.channels // (2 ** i)
             output_dim = self.channels // (2 ** (i + 1))
             x = DecoderBlock(input_dim, output_dim, stride,
-                             padding=self.padding, name=f"block_{i}")(x)
+                             padding=self.padding, folded=self.folded,
+                             name=f"block_{i}")(x)
         x = Snake1d(output_dim, name="snake")(x)
         x = WNConv1d(output_dim, self.d_out, kernel_size=7, padding=3,
-                     pad_mode=pad_mode, name="out_conv")(x)
+                     pad_mode=pad_mode, folded=self.folded,
+                     name="out_conv")(x)
         return jnp.tanh(x).astype(jnp.float32)
 
 
@@ -116,6 +122,12 @@ class DAC_VRVQ(nn.Module):
     imp2mask_alpha: float = 1.0
     padding: bool = True
     compute_dtype: str = "float32"  # conv stacks; quantizer stays f32
+    # Inference overrides (see infer/fast.py): ``decoder_compute_dtype``
+    # lets the decoder run bf16 while the encoder stays f32 (bit-exact
+    # codes); ``folded`` switches encoder+decoder to pre-folded kernels
+    # from nn/fold.fold_weight_norm (quantizer params are never folded).
+    decoder_compute_dtype: Optional[str] = None
+    folded: bool = False
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -153,6 +165,7 @@ class DAC_VRVQ(nn.Module):
             latent_dim=latent_dim,
             padding=self.padding,
             compute_dtype=self.compute_dtype,
+            folded=self.folded,
             name="encoder",
         )
         if self.model_type == "CBR":
@@ -186,7 +199,8 @@ class DAC_VRVQ(nn.Module):
             channels=self.decoder_dim,
             rates=tuple(self.decoder_rates),
             padding=self.padding,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.decoder_compute_dtype or self.compute_dtype,
+            folded=self.folded,
             name="decoder",
         )
 

@@ -8,3 +8,4 @@ from .layers import (
     DenoisingBlock,
     snake,
 )
+from .fold import fold_weight_norm

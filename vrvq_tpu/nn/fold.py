@@ -1,0 +1,73 @@
+"""Weight-norm folding for inference.
+
+Every conv in the codec is weight-normalized (``w = g * v / ||v||``,
+reference models/layers.py:17-22). During training the reparameterization
+must stay live, but at inference it is pure overhead — and worse, on this
+TPU stack it silently blocks bf16: the terminal's
+``--xla_allow_excess_precision=true`` lets XLA elide the in-graph
+``f32 -> bf16`` cast of the recomputed kernel, so a nominally-bf16 decoder
+still runs f32 matmuls (round-1's "bf16 is neutral" measurement was exactly
+this artifact).
+
+``fold_weight_norm`` computes each effective kernel ONCE in f32 on the host
+and stores it as a single ``w`` param (optionally cast to bf16 — a real
+bf16 array in HBM is what the MXU actually sees). The folded param tree
+drives the same modules with ``folded=True`` (nn/layers.py), which skip the
+norm entirely.
+
+Layout notes: WNConv1d stores ``v`` as WIO ``(k, cin/groups, cout)`` with
+``g`` per out-channel; WNConvTranspose1d keeps torch's ``(cin, cout, k)``
+with ``g`` per in-channel. The fold preserves each layout, so a folded tree
+is structurally identical to the live one except ``{v, g} -> {w}``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# Module names whose conv is a WNConvTranspose1d. In this codebase the only
+# transposed convs are the DecoderBlock upsamplers (nn/layers.py).
+_TRANSPOSED_NAMES = frozenset({"up"})
+
+
+def _fold_conv(leaf: dict, name: str, dtype) -> dict:
+    v = np.asarray(leaf["v"], np.float32)
+    g = np.asarray(leaf["g"], np.float32)
+    if name in _TRANSPOSED_NAMES:
+        # (cin, cout, k), g per in-channel
+        assert g.shape == (v.shape[0],), (name, v.shape, g.shape)
+        norm = np.sqrt(np.sum(np.square(v), axis=(1, 2), keepdims=True))
+        w = v * (g[:, None, None] / np.maximum(norm, 1e-32))
+    else:
+        # (k, cin/groups, cout), g per out-channel
+        assert g.shape == (v.shape[2],), (name, v.shape, g.shape)
+        norm = np.sqrt(np.sum(np.square(v), axis=(0, 1), keepdims=True))
+        w = v * (g[None, None, :] / np.maximum(norm, 1e-32))
+    out = {"w": jnp.asarray(w, dtype)}
+    for k, val in leaf.items():
+        if k not in ("v", "g"):
+            out[k] = _cast(val, dtype)
+    return out
+
+
+def _cast(x, dtype):
+    x = jnp.asarray(x)
+    if dtype is not None and jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(dtype)
+    return x
+
+
+def fold_weight_norm(tree, dtype: Optional[str] = None, _name: str = ""):
+    """Fold every ``{v, g}`` weight-norm pair in ``tree`` into an effective
+    kernel ``w`` (computed in f32), casting all floating leaves to ``dtype``
+    when given (e.g. ``'bfloat16'``). Pass a module subtree — e.g.
+    ``params['params']['decoder']`` — or a whole param tree."""
+    dt = jnp.dtype(dtype) if dtype is not None else None
+    if isinstance(tree, dict):
+        if "v" in tree and "g" in tree:
+            return _fold_conv(tree, _name, dt)
+        return {k: fold_weight_norm(v, dtype, k) for k, v in tree.items()}
+    return _cast(tree, dt)
