@@ -144,6 +144,30 @@ def test_level_sweep_with_inference_model():
         assert snr > 35.0
 
 
+def test_inference_model_moe():
+    """make_inference_model works on DAC_MOE: bit-equal codes, bf16 decode."""
+    from vrvq_tpu.models import DAC_MOE
+
+    model = DAC_MOE(
+        encoder_dim=8, encoder_rates=(2, 4, 4), decoder_dim=64,
+        decoder_rates=(4, 4, 2), n_codebooks=4, codebook_size=64,
+        codebook_dim=4, sample_rate=44100, model_type="VBR",
+    )
+    audio = jnp.asarray(
+        np.random.RandomState(6).randn(2, 1, 4096).astype(np.float32) * 0.3
+    )
+    params = _init(model, audio)
+    fast_model, fast_params = make_inference_model(model, params)
+    out = model.apply(params, audio, level=1.0)
+    out_f = fast_model.apply(fast_params, audio, level=1.0)
+    np.testing.assert_array_equal(np.asarray(out["codes"]),
+                                  np.asarray(out_f["codes"]))
+    y32 = np.asarray(out["audio"], np.float64)
+    y16 = np.asarray(out_f["audio"], np.float64)
+    snr = 10 * np.log10(np.sum(y32 ** 2) / max(np.sum((y32 - y16) ** 2), 1e-30))
+    assert snr > 35.0, f"bf16 MOE decode agreement only {snr:.1f} dB"
+
+
 def test_chunked_decode_with_inference_model():
     """decode_chunked builds the folded decoder from the model flags."""
     from vrvq_tpu.infer.chunked import decode_chunked

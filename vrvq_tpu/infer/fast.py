@@ -13,10 +13,12 @@ pair that is a drop-in replacement for every inference entry point
     stay f32 — codebook indices remain bit-exact vs the torch reference
     (the encode->codes path precision rule, CLAUDE.md).
 
-Decode quality in bf16 is validated in tests/test_fold.py (CPU) and
-measured on TPU in BASELINE.md: the bf16 decode agrees with the f32 decode
-far above the codec's own reconstruction error, so end-to-end SI-SDR is
-unchanged at reporting precision.
+Decode quality in bf16 is validated in tests/test_fold.py (CPU): the bf16
+decode agrees with the f32 decode far above the codec's own reconstruction
+error, so end-to-end SI-SDR is unchanged at reporting precision. Speed is
+NEUTRAL on v5e (the decoder is HBM/layout-bound, not FLOP-bound); the bf16
+benefit is memory — halved decoder activation HBM lifts the batch-32 x 10 s
+one-shot decode OOM (BASELINE.md).
 """
 
 from __future__ import annotations

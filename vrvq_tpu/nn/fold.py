@@ -2,18 +2,21 @@
 
 Every conv in the codec is weight-normalized (``w = g * v / ||v||``,
 reference models/layers.py:17-22). During training the reparameterization
-must stay live, but at inference it is pure overhead — and worse, on this
-TPU stack it silently blocks bf16: the terminal's
-``--xla_allow_excess_precision=true`` lets XLA elide the in-graph
-``f32 -> bf16`` cast of the recomputed kernel, so a nominally-bf16 decoder
-still runs f32 matmuls (round-1's "bf16 is neutral" measurement was exactly
-this artifact).
+must stay live, but at inference it is pure overhead: each ``apply``
+recomputes every norm and rescale under jit.
 
 ``fold_weight_norm`` computes each effective kernel ONCE in f32 on the host
-and stores it as a single ``w`` param (optionally cast to bf16 — a real
-bf16 array in HBM is what the MXU actually sees). The folded param tree
-drives the same modules with ``folded=True`` (nn/layers.py), which skip the
-norm entirely.
+and stores it as a single ``w`` param (optionally cast to bf16, so the MXU
+sees a genuine bf16 array in HBM rather than an in-graph cast). The folded
+param tree drives the same modules with ``folded=True`` (nn/layers.py),
+which skip the norm entirely.
+
+Measured (v5e, flagship, b16 x 10 s): folding alone is ~1% end-to-end (the
+norms are tiny next to the convs), and a genuinely-bf16 folded decoder is
+speed-NEUTRAL vs f32 — the decode path is HBM/layout-bound, not
+MXU-FLOP-bound, confirming round-1's diagnosis. The practical wins are
+(a) halved decoder param+activation HBM (lifts the batch-32 x 10 s one-shot
+decode OOM) and (b) a single clean inference param tree.
 
 Layout notes: WNConv1d stores ``v`` as WIO ``(k, cin/groups, cout)`` with
 ``g`` per out-channel; WNConvTranspose1d keeps torch's ``(cin, cout, k)``

@@ -94,29 +94,23 @@ class WNConv1d(nn.Module):
             w = v * (g_param[None, None, :] / jnp.maximum(norm, 1e-32))
 
         pad = [(self.padding, self.padding)] if self.pad_mode == "zeros" else [(0, 0)]
-        if k == 1 and self.stride == 1 and g == 1 and pad == [(0, 0)]:
-            # 1x1 conv as a plain matmul: XLA's TPU `convolution` op runs
-            # ~2x slower than the equivalent dot at the decoder's hot
-            # shapes (measured v5e: 20.8 ms conv vs 11.8 ms dot at
-            # (16, 441344, 96); 9.8 vs 5.0 at C=192). Numerics identical:
-            # same contraction, same f32 accumulation.
-            y = jax.lax.dot_general(
-                x,
-                w[0].astype(x.dtype),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            y = jax.lax.conv_general_dilated(
-                x,
-                w.astype(x.dtype),
-                window_strides=(self.stride,),
-                padding=pad,
-                rhs_dilation=(self.dilation,),
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=g,
-                preferred_element_type=jnp.float32,
-            )
+        # NB: do NOT lower 1x1 convs to dot_general. Standalone the dot is
+        # ~2x faster than XLA's convolution at the decoder's hot shapes
+        # (v5e: 11.8 ms dot vs 20.8 ms conv at (16, 441344, 96)), but
+        # end-to-end it is a measured 13% REGRESSION (952 -> 1077 ms fwd,
+        # b16 x 10 s flagship): in context XLA fuses the k=1 conv with the
+        # neighboring snake/residual elementwise ops, and the dot breaks
+        # that fusion. Keep the conv.
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(self.stride,),
+            padding=pad,
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g,
+            preferred_element_type=jnp.float32,
+        )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (cout,))
             y = y + b.astype(y.dtype)
