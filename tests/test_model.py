@@ -197,3 +197,22 @@ def test_flagship_param_counts_match_reference():
     assert abs(count(tree["encoder"]) / 1e6 - 22.31) < 0.05
     assert abs(count(tree["decoder"]) / 1e6 - 54.10) < 0.05
     assert abs(count(tree) / 1e6 - 81.56) < 0.1
+
+
+def test_encode_precision_option(vbr_model):
+    """``encode_precision='highest'`` is compute-only: same param tree, and
+    on CPU (always f32 convs) identical codes. On TPU it makes codes match
+    this CPU path bit-for-bit (measured: default precision flips ~2.5% of
+    flagship indices; see BASELINE.md)."""
+    import dataclasses
+
+    m, params = vbr_model
+    m_exact = dataclasses.replace(m, encode_precision="highest")
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 1, 2048).astype(np.float32))
+    out = m.apply(params, x, level=1.0)
+    out_exact = m_exact.apply(params, x, level=1.0)
+    np.testing.assert_array_equal(np.asarray(out["codes"]),
+                                  np.asarray(out_exact["codes"]))
+    np.testing.assert_array_equal(np.asarray(out["mask_imp"]),
+                                  np.asarray(out_exact["mask_imp"]))

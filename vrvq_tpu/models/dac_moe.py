@@ -199,6 +199,7 @@ class DAC_MOE(nn.Module):
     compute_dtype: str = "float32"
     decoder_compute_dtype: Optional[str] = None  # see DAC_VRVQ / infer/fast.py
     folded: bool = False
+    encode_precision: Optional[str] = None  # see DAC_VRVQ.encode_precision
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -234,6 +235,7 @@ class DAC_MOE(nn.Module):
             padding=self.padding,
             compute_dtype=self.compute_dtype,
             folded=self.folded,
+            precision=self.encode_precision,
             name="encoder",
         )
         if self.model_type == "CBR":

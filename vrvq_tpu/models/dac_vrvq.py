@@ -37,6 +37,10 @@ class Encoder(nn.Module):
     padding: bool = True
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic on MXU
     folded: bool = False  # params hold pre-folded kernels (nn/fold.py)
+    # None: JAX-default conv precision (bf16 MXU multiplies on TPU, fastest).
+    # 'highest': true-f32 convs -> TPU codes match the CPU/torch-exact path
+    # bit-for-bit (default precision flips ~2.5% of flagship indices).
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_feat: bool = False):
@@ -44,15 +48,18 @@ class Encoder(nn.Module):
         x = x.astype(jnp.dtype(self.compute_dtype))
         d = self.d_model
         x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
-                     folded=self.folded, name="in_conv")(x)
+                     folded=self.folded, precision=self.precision,
+                     name="in_conv")(x)
         for i, stride in enumerate(self.strides):
             d *= 2
             x = EncoderBlock(d, stride=stride, padding=self.padding,
-                             folded=self.folded, name=f"block_{i}")(x)
+                             folded=self.folded, precision=self.precision,
+                             name=f"block_{i}")(x)
         feat = x
         x = Snake1d(d, name="snake")(x)
         x = WNConv1d(d, self.latent_dim, kernel_size=3, padding=1,
                      pad_mode=pad_mode, folded=self.folded,
+                     precision=self.precision,
                      name="out_conv")(x)
         # latents always hand off to the quantizer in f32 (index parity)
         x = x.astype(jnp.float32)
@@ -128,6 +135,12 @@ class DAC_VRVQ(nn.Module):
     # from nn/fold.fold_weight_norm (quantizer params are never folded).
     decoder_compute_dtype: Optional[str] = None
     folded: bool = False
+    # ``encode_precision='highest'`` forces true-f32 convs in the encoder and
+    # importance subnet so TPU codes match the CPU/torch-exact path
+    # bit-for-bit (JAX's default TPU conv precision uses bf16 MXU multiplies,
+    # which flips ~2.5% of flagship code indices vs CPU; quantizer
+    # projections are always 'highest' regardless). Costs encode speed.
+    encode_precision: Optional[str] = None
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -166,6 +179,7 @@ class DAC_VRVQ(nn.Module):
             padding=self.padding,
             compute_dtype=self.compute_dtype,
             folded=self.folded,
+            precision=self.encode_precision,
             name="encoder",
         )
         if self.model_type == "CBR":
@@ -190,6 +204,7 @@ class DAC_VRVQ(nn.Module):
                 level_dist=self.level_dist,
                 detach_imp_map_input=self.detach_imp_map_input,
                 imp2mask_alpha=self.imp2mask_alpha,
+                imp_precision=self.encode_precision,
                 name="quantizer",
             )
         else:

@@ -25,6 +25,7 @@ class ImportanceSubnet(nn.Module):
     intermediate_channels: Sequence[int] = (512, 128, 32, 8)
     out_channels: int = 1
     detach_input: bool = False
+    precision: "str | None" = None  # see nn.WNConv1d.precision
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray) -> jnp.ndarray:
@@ -32,11 +33,11 @@ class ImportanceSubnet(nn.Module):
             x_in = jax.lax.stop_gradient(x_in)
         x = Snake1d(self.d_input, name="in_snake")(x_in)
         x = WNConv1d(self.d_input, self.d_feat, kernel_size=3, padding=1,
-                     name="in_conv")(x)
+                     precision=self.precision, name="in_conv")(x)
         in_channels = [self.d_feat] + list(self.intermediate_channels)
         out_channels = list(self.intermediate_channels) + [self.out_channels]
         for i, (cin, cout) in enumerate(zip(in_channels, out_channels)):
             x = Snake1d(cin, name=f"snake_{i}")(x)
             x = WNConv1d(cin, cout, kernel_size=3, padding=1,
-                         name=f"conv_{i}")(x)
+                         precision=self.precision, name=f"conv_{i}")(x)
         return jax.nn.sigmoid(x)  # (B, T, 1)

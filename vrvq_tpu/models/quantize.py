@@ -274,6 +274,7 @@ class VBRResidualVectorQuantize(nn.Module):
     level_dist: str = "uniform"  # "uniform" | "log_uniform"
     detach_imp_map_input: bool = False
     imp2mask_alpha: float = 1.0
+    imp_precision: Union[str, None] = None  # imp-subnet conv precision
 
     @property
     def codebook_dims(self) -> List[int]:
@@ -295,6 +296,7 @@ class VBRResidualVectorQuantize(nn.Module):
             intermediate_channels=(512, 128, 32, 8),
             out_channels=1,
             detach_input=self.detach_imp_map_input,
+            precision=self.imp_precision,
             name="imp_subnet",
         )
 

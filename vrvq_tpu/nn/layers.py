@@ -51,6 +51,11 @@ class WNConv1d(nn.Module):
     use_bias: bool = True
     pad_mode: str = "zeros"  # 'zeros' | 'none' (streaming: padding disabled)
     folded: bool = False  # inference: params carry the effective kernel 'w'
+    # None -> JAX default (bf16 multiplies on the TPU MXU, fastest).
+    # 'highest' -> true-f32 multiplies: on TPU this makes encode codes match
+    # the CPU/torch-exact path bit-for-bit (default TPU precision flips
+    # ~2.5% of flagship code indices; see models.DAC_VRVQ.encode_precision).
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -110,6 +115,7 @@ class WNConv1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=g,
             preferred_element_type=jnp.float32,
+            precision=self.precision,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (cout,))
@@ -140,6 +146,7 @@ class WNConvTranspose1d(nn.Module):
     use_bias: bool = True
     pad_mode: str = "zeros"  # 'zeros' | 'none' (streaming: padding=0)
     folded: bool = False  # inference: params carry the effective kernel 'w'
+    precision: Optional[str] = None  # see WNConv1d.precision
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -184,6 +191,7 @@ class WNConvTranspose1d(nn.Module):
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
+            precision=self.precision,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (cout,))
@@ -220,6 +228,7 @@ class ResidualUnit(nn.Module):
     dilation: int = 1
     padding: bool = True
     folded: bool = False
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -228,11 +237,12 @@ class ResidualUnit(nn.Module):
         y = Snake1d(self.dim, name="snake1")(x)
         y = WNConv1d(
             self.dim, self.dim, kernel_size=7, dilation=self.dilation,
-            padding=pad, pad_mode=pad_mode, folded=self.folded, name="conv1",
+            padding=pad, pad_mode=pad_mode, folded=self.folded,
+            precision=self.precision, name="conv1",
         )(y)
         y = Snake1d(self.dim, name="snake2")(y)
         y = WNConv1d(self.dim, self.dim, kernel_size=1, folded=self.folded,
-                     name="conv2")(y)
+                     precision=self.precision, name="conv2")(y)
         crop = (x.shape[1] - y.shape[1]) // 2
         if crop > 0:
             x = x[:, crop:-crop, :]
@@ -250,6 +260,7 @@ class EncoderBlock(nn.Module):
     stride: int = 1
     padding: bool = True
     folded: bool = False
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -258,7 +269,7 @@ class EncoderBlock(nn.Module):
         for i, dilation in enumerate((1, 3, 9)):
             x = ResidualUnit(
                 half, dilation=dilation, padding=self.padding,
-                folded=self.folded, name=f"res{i}",
+                folded=self.folded, precision=self.precision, name=f"res{i}",
             )(x)
         x = Snake1d(half, name="snake")(x)
         x = WNConv1d(
@@ -268,6 +279,7 @@ class EncoderBlock(nn.Module):
             padding=math.ceil(self.stride / 2),
             pad_mode=pad_mode,
             folded=self.folded,
+            precision=self.precision,
             name="down",
         )(x)
         return x
