@@ -81,7 +81,7 @@ def test_inference_model_f32_forward_identical():
     )
     params = _init(model, audio)
     fast_model, fast_params = make_inference_model(
-        model, params, decode_dtype=None
+        model, params, decode_dtype=None, snake_approx=False
     )
     out = model.apply(params, audio, level=1.0)
     out_f = fast_model.apply(fast_params, audio, level=1.0)
@@ -117,6 +117,27 @@ def test_inference_model_bf16_decode_quality():
     snr = 10 * np.log10(np.sum(y32 ** 2) / max(np.sum((y32 - y16) ** 2), 1e-30))
     # bf16 rounding noise: far above any useful codec SI-SDR (< ~25 dB)
     assert snr > 35.0, f"bf16 decode agreement only {snr:.1f} dB"
+
+
+def test_snake_approx_decode_quality():
+    """Polynomial-snake decode stays within bf16-level agreement of exact."""
+    model = _tiny_model()
+    audio = jnp.asarray(
+        np.random.RandomState(7).randn(2, 1, 4096).astype(np.float32) * 0.3
+    )
+    params = _init(model, audio)
+    exact_m, exact_p = make_inference_model(
+        model, params, decode_dtype=None, snake_approx=False)
+    approx_m, approx_p = make_inference_model(
+        model, params, decode_dtype=None, snake_approx=True)
+    out_e = exact_m.apply(exact_p, audio, level=1.0)
+    out_a = approx_m.apply(approx_p, audio, level=1.0)
+    np.testing.assert_array_equal(np.asarray(out_e["codes"]),
+                                  np.asarray(out_a["codes"]))
+    ye = np.asarray(out_e["audio"], np.float64)
+    ya = np.asarray(out_a["audio"], np.float64)
+    snr = 10 * np.log10(np.sum(ye ** 2) / max(np.sum((ye - ya) ** 2), 1e-30))
+    assert snr > 60.0, f"approx snake decode agreement only {snr:.1f} dB"
 
 
 def test_level_sweep_with_inference_model():

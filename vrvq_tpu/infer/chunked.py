@@ -39,7 +39,9 @@ def _decoder_module(model) -> Decoder:
         padding=True,
         compute_dtype=(getattr(model, "decoder_compute_dtype", None)
                        or model.compute_dtype),
-        folded=getattr(model, "folded", False),
+        folded=(getattr(model, "folded", False)
+                or getattr(model, "decoder_folded", False)),
+        snake_approx=getattr(model, "decoder_snake_approx", False),
     )
 
 
@@ -50,7 +52,9 @@ def _encoder_module(model) -> Encoder:
         latent_dim=model.resolved_latent_dim,
         padding=True,
         compute_dtype=model.compute_dtype,
-        folded=getattr(model, "folded", False),
+        folded=(getattr(model, "folded", False)
+                or getattr(model, "encoder_folded", False)),
+        snake_approx=getattr(model, "encoder_snake_approx", False),
     )
 
 

@@ -199,7 +199,11 @@ class DAC_MOE(nn.Module):
     compute_dtype: str = "float32"
     decoder_compute_dtype: Optional[str] = None  # see DAC_VRVQ / infer/fast.py
     folded: bool = False
+    encoder_folded: bool = False  # see DAC_VRVQ.encoder_folded
+    decoder_folded: bool = False  # see DAC_VRVQ.decoder_folded
     encode_precision: Optional[str] = None  # see DAC_VRVQ.encode_precision
+    decoder_snake_approx: bool = False  # see DAC_VRVQ.decoder_snake_approx
+    encoder_snake_approx: bool = False  # see DAC_VRVQ.encoder_snake_approx
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -234,8 +238,9 @@ class DAC_MOE(nn.Module):
             latent_dim=latent_dim,
             padding=self.padding,
             compute_dtype=self.compute_dtype,
-            folded=self.folded,
+            folded=self.folded or self.encoder_folded,
             precision=self.encode_precision,
+            snake_approx=self.encoder_snake_approx,
             name="encoder",
         )
         if self.model_type == "CBR":
@@ -270,7 +275,8 @@ class DAC_MOE(nn.Module):
             rates=tuple(self.decoder_rates),
             padding=self.padding,
             compute_dtype=self.decoder_compute_dtype or self.compute_dtype,
-            folded=self.folded,
+            folded=self.folded or self.decoder_folded,
+            snake_approx=self.decoder_snake_approx,
             name="decoder",
         )
 

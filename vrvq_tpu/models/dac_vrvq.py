@@ -41,6 +41,9 @@ class Encoder(nn.Module):
     # 'highest': true-f32 convs -> TPU codes match the CPU/torch-exact path
     # bit-for-bit (default precision flips ~2.5% of flagship indices).
     precision: Optional[str] = None
+    # Opt-in polynomial snake in the ENCODER: throughput mode that slightly
+    # perturbs latents (and hence a small fraction of code indices).
+    snake_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_feat: bool = False):
@@ -54,9 +57,10 @@ class Encoder(nn.Module):
             d *= 2
             x = EncoderBlock(d, stride=stride, padding=self.padding,
                              folded=self.folded, precision=self.precision,
+                             snake_approx=self.snake_approx,
                              name=f"block_{i}")(x)
         feat = x
-        x = Snake1d(d, name="snake")(x)
+        x = Snake1d(d, approx=self.snake_approx, name="snake")(x)
         x = WNConv1d(d, self.latent_dim, kernel_size=3, padding=1,
                      pad_mode=pad_mode, folded=self.folded,
                      precision=self.precision,
@@ -80,6 +84,7 @@ class Decoder(nn.Module):
     padding: bool = True
     compute_dtype: str = "float32"
     folded: bool = False  # params hold pre-folded kernels (nn/fold.py)
+    snake_approx: bool = False  # fast polynomial snake (see Snake1d.approx)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,8 +99,9 @@ class Decoder(nn.Module):
             output_dim = self.channels // (2 ** (i + 1))
             x = DecoderBlock(input_dim, output_dim, stride,
                              padding=self.padding, folded=self.folded,
+                             snake_approx=self.snake_approx,
                              name=f"block_{i}")(x)
-        x = Snake1d(output_dim, name="snake")(x)
+        x = Snake1d(output_dim, approx=self.snake_approx, name="snake")(x)
         x = WNConv1d(output_dim, self.d_out, kernel_size=7, padding=3,
                      pad_mode=pad_mode, folded=self.folded,
                      name="out_conv")(x)
@@ -134,7 +140,20 @@ class DAC_VRVQ(nn.Module):
     # codes); ``folded`` switches encoder+decoder to pre-folded kernels
     # from nn/fold.fold_weight_norm (quantizer params are never folded).
     decoder_compute_dtype: Optional[str] = None
+    # ``folded`` folds BOTH conv stacks; the per-stack flags let inference
+    # fold only the decoder — folding the encoder changes XLA's fusion of
+    # the weight-norm rescale and flips ~1.4% of TPU code indices, while
+    # buying ~nothing (measured), so make_inference_model leaves the
+    # encoder live by default.
     folded: bool = False
+    encoder_folded: bool = False
+    decoder_folded: bool = False
+    # Decoder-only polynomial snake (|sin^2 err| <= 4.5e-6, ~6x faster on
+    # v5e where snake is sin()-bound). Never affects encode/codes.
+    decoder_snake_approx: bool = False
+    # Encoder-side fast snake: opt-in throughput mode; perturbs latents so a
+    # small fraction of code indices change (NOT bit-exact vs CPU/torch).
+    encoder_snake_approx: bool = False
     # ``encode_precision='highest'`` forces true-f32 convs in the encoder and
     # importance subnet so TPU codes match the CPU/torch-exact path
     # bit-for-bit (JAX's default TPU conv precision uses bf16 MXU multiplies,
@@ -178,8 +197,9 @@ class DAC_VRVQ(nn.Module):
             latent_dim=latent_dim,
             padding=self.padding,
             compute_dtype=self.compute_dtype,
-            folded=self.folded,
+            folded=self.folded or self.encoder_folded,
             precision=self.encode_precision,
+            snake_approx=self.encoder_snake_approx,
             name="encoder",
         )
         if self.model_type == "CBR":
@@ -215,7 +235,8 @@ class DAC_VRVQ(nn.Module):
             rates=tuple(self.decoder_rates),
             padding=self.padding,
             compute_dtype=self.decoder_compute_dtype or self.compute_dtype,
-            folded=self.folded,
+            folded=self.folded or self.decoder_folded,
+            snake_approx=self.decoder_snake_approx,
             name="decoder",
         )
 

@@ -62,3 +62,40 @@ def snake_pallas(x: jnp.ndarray, alpha: jnp.ndarray, block_t: int = 512,
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Default snake entrypoint: XLA expression (fuses into conv epilogues)."""
     return snake_reference(x, alpha)
+
+
+# ------------------------------------------------------------------ approx
+# Measured on v5e (b8 x (441344, 96)): jnp.sin costs 9.6 ms per snake while
+# the identical op without the transcendental is 0.8 ms (= memory floor) —
+# the decoder is sin()-bound, not conv- or HBM-bound. The polynomial below
+# replaces sin^2 with an exact period-pi range reduction plus a degree-4
+# least-squares fit in r^2 (max abs error 4.5e-6 — three orders of magnitude
+# below bf16 rounding), turning snake back into a ~memory-bound VPU chain.
+_PI = 3.14159265358979323846
+_INV_PI = 1.0 / _PI
+# sin^2(r) ~= s * (C0 + s*(C1 + s*(C2 + s*(C3 + s*C4)))), s = r^2,
+# r in [-pi/2, pi/2]; fitted over 20k points (see repo history).
+_SIN2_C0 = 9.99999537e-01
+_SIN2_C1 = -3.33322958e-01
+_SIN2_C2 = 4.44076862e-02
+_SIN2_C3 = -3.12925887e-03
+_SIN2_C4 = 1.18124696e-04
+
+
+def snake_approx(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake with polynomial sin^2 (decode-path fast mode).
+
+    Not bit-identical to :func:`snake_reference` (|sin^2 error| <= 4.5e-6),
+    so it must never be used in the encode->codes path; the inference
+    wrapper enables it for the decoder only (infer/fast.py).
+    """
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    af = alpha.astype(f32)
+    u = af * xf
+    # exact period-pi reduction: r = u - pi*round(u/pi) in [-pi/2, pi/2]
+    r = u - _PI * jnp.round(u * _INV_PI)
+    s = r * r
+    sin2 = s * (_SIN2_C0 + s * (_SIN2_C1 + s * (
+        _SIN2_C2 + s * (_SIN2_C3 + s * _SIN2_C4))))
+    return (xf + sin2 * (1.0 / (af + 1e-9))).astype(x.dtype)
