@@ -207,3 +207,29 @@ def test_chunked_decode_with_inference_model():
                              chunk_frames=64)
     np.testing.assert_allclose(np.asarray(one_shot), np.asarray(chunked),
                                rtol=1e-2, atol=2e-3)
+
+
+def test_snake_approx_gradients():
+    """snake_approx is trainable: gradients flow and match exact-snake
+    gradients closely (d/du sin^2(u) = sin(2u) approximated by the poly's
+    derivative; round() contributes zero gradient so the range reduction
+    is transparent)."""
+    from vrvq_tpu.ops.snake import snake_reference, snake_approx
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+    a = jnp.asarray(np.abs(rng.randn(8)).astype(np.float32) + 0.5)
+
+    def loss_exact(x, a):
+        return jnp.sum(snake_reference(x, a) ** 2)
+
+    def loss_approx(x, a):
+        return jnp.sum(snake_approx(x, a) ** 2)
+
+    gx_e, ga_e = jax.grad(loss_exact, argnums=(0, 1))(x, a)
+    gx_a, ga_a = jax.grad(loss_approx, argnums=(0, 1))(x, a)
+    assert np.all(np.isfinite(np.asarray(gx_a)))
+    np.testing.assert_allclose(np.asarray(gx_e), np.asarray(gx_a),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga_e), np.asarray(ga_a),
+                               rtol=1e-3, atol=1e-4)
