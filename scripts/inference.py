@@ -24,6 +24,9 @@ from vrvq_tpu.data.loaders import AudioLoader
 from vrvq_tpu.infer.sweep import DEFAULT_LEVELS, save_results
 from vrvq_tpu.models import DAC_VRVQ
 from vrvq_tpu.train import checkpoint as ckpt
+from vrvq_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def inference(cfg):

@@ -22,6 +22,9 @@ if os.environ.get("JAX_PLATFORMS") not in (None, "", "axon"):
 from vrvq_tpu.config import parse_args
 from vrvq_tpu.parallel.mesh import initialize_multihost
 from vrvq_tpu.train.trainer import train
+from vrvq_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 if __name__ == "__main__":
     cfg = parse_args(base_dir=Path(__file__).resolve().parents[1])

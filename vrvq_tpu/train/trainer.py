@@ -168,10 +168,15 @@ def load(
         (1, 1, int(np.ceil(0.38 * generator.sample_rate / 512) * 512)),
         jnp.float32,
     )
+    tracker.print(
+        f"Initializing params on {jax.devices()[0].platform} "
+        f"({len(jax.devices())} device(s))..."
+    )
     train_state = init_train_state(
         generator, discriminator, opt_g, opt_d, sample,
         seed=cfg.get("seed", 0),
     )
+    tracker.print("Params initialized.")
     if resume:
         tracker.print(f"Resuming from {save_path}/{tag}")
         train_state = ckpt.load_checkpoint(save_path, train_state, tag)
@@ -187,10 +192,18 @@ def load(
         while n > 1 and batch_size % n != 0:
             n -= 1
         mesh = make_mesh(n)
-    train_state = replicate(train_state, mesh)
+    if mesh.devices.size > 1:
+        train_state = replicate(train_state, mesh)
+    # single-device: leave state/batches unannotated so the jit programs are
+    # byte-identical to the plain (bench/inference) ones and hit the
+    # persistent compilation cache — sharding-annotated HLO caches separately
 
     train_data = build_dataset(cfg, generator.sample_rate, "train")
     val_data = build_dataset(cfg, generator.sample_rate, "val")
+    tracker.print(
+        f"Datasets ready: train={len(train_data)} val={len(val_data)}; "
+        f"mesh={tuple(mesh.devices.shape)}"
+    )
 
     return State(
         generator=generator,
@@ -217,7 +230,17 @@ def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
     audio = jnp.asarray(
         transformed.audio_data if isinstance(transformed, Signal) else transformed
     )
-    return shard_batch(audio, state.mesh)
+    # pad the clip to a hop multiple host-side (the model's in-graph
+    # preprocess would do it anyway): keeps the train-step input shape
+    # identical across clip durations and to the bench/dryrun programs, so
+    # the persistent compilation cache hits
+    hop = state.generator.hop_length
+    frames = int(np.ceil(audio.shape[-1] / hop) * hop)
+    if frames != audio.shape[-1]:
+        audio = jnp.pad(audio, ((0, 0), (0, 0), (0, frames - audio.shape[-1])))
+    if state.mesh.devices.size > 1:
+        audio = shard_batch(audio, state.mesh)
+    return audio
 
 
 def validate(state: State, batch_size: int,
@@ -324,8 +347,13 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
     )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    first = True
     for step, batch in enumerate(loader, start=tracker.step):
         tracker.step = step
+        if first:
+            tracker.print("Compiling + running first train step "
+                          "(full-size remote compiles can take minutes)...")
+            first = False
         audio = _prepare_signal(state, batch)
         rng, sub = jax.random.split(rng)
         state.train_state, metrics = state.train_step(

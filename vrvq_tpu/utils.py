@@ -9,10 +9,28 @@ host-side section timers in ``vrvq_tpu.train.tracker``.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
+from pathlib import Path
 from typing import Iterator, Optional
 
 import jax
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Full-size train-step programs take minutes to compile (and through a
+    remote-TPU compile service they can fail outright under memory
+    pressure); the persistent cache makes every CLI/bench/test process
+    reuse each other's compiles. Default: ``.jax_cache`` at the repo root,
+    overridable via ``VRVQ_COMPILATION_CACHE``.
+    """
+    path = (path or os.environ.get("VRVQ_COMPILATION_CACHE")
+            or str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
 
 
 @contextlib.contextmanager
