@@ -1,0 +1,102 @@
+"""ViSQOL-style gammatone NSIM (vrvq_tpu/visqol.py).
+
+The reference's quality metric is the external visqol binary
+(reference: models/utils.py:130-141); these tests pin the in-tree
+implementation's algorithmic properties: ERB filterbank shape, quality
+ordering, patch-alignment shift robustness, and the MOS mapping.
+"""
+
+import numpy as np
+import pytest
+
+from vrvq_tpu.visqol import (
+    gammatone_weights, gammatonegram, nsim_to_mos, patch_nsim, visqol,
+)
+
+SR = 44100
+
+
+def _tone(freqs, seconds=2.0, amp=0.4):
+    t = np.arange(int(seconds * SR)) / SR
+    x = sum(amp * np.sin(2 * np.pi * f * t) / (i + 1)
+            for i, f in enumerate(np.atleast_1d(freqs)))
+    return x.astype(np.float32)
+
+
+def test_gammatone_weights_shape_and_centers():
+    w, centers = gammatone_weights(32, 50.0, SR, 4096)
+    assert w.shape == (32, 2049)
+    # ERB-spaced centers are increasing and span the band
+    assert np.all(np.diff(centers) > 0)
+    assert centers[0] == pytest.approx(50.0, rel=1e-6)
+    assert centers[-1] > 15000
+    # each band peaks (by construction) at 1 near its center bin
+    freqs = np.fft.rfftfreq(4096, 1.0 / SR)
+    for i in (0, 15, 31):
+        peak_f = freqs[np.argmax(w[i])]
+        assert abs(peak_f - centers[i]) <= freqs[1] * 2
+
+
+def test_gammatonegram_shape():
+    g = gammatonegram(_tone(440), SR)
+    win, hop = int(0.08 * SR), int(0.02 * SR)
+    assert g.shape == (32, 1 + (int(2.0 * SR) - win) // hop)
+    # a 440 Hz tone concentrates energy in low bands
+    assert g[:8].max() > g[24:].max() + 10.0
+
+
+def test_visqol_quality_ordering():
+    ref = _tone([220, 440, 880])
+    rng = np.random.RandomState(3)
+    v_same, mos_same = visqol(ref, ref, SR)
+    v_slight, _ = visqol(ref + 0.003 * rng.randn(ref.size).astype(np.float32),
+                         ref, SR)
+    v_heavy, mos_heavy = visqol(ref + 0.3 * rng.randn(ref.size).astype(np.float32),
+                                ref, SR)
+    assert v_same > 0.999
+    assert v_same >= v_slight > v_heavy
+    assert mos_same > 4.5 > mos_heavy
+
+
+def test_patch_alignment_shift_robustness():
+    """A small time offset barely hurts the score thanks to per-patch
+    alignment (the property the visqol binary's alignment stage provides;
+    a naive whole-signal NSIM collapses under the same shift)."""
+    ref = _tone([330, 660]) * (1 + 0.5 * np.sin(
+        2 * np.pi * 1.3 * np.arange(int(2.0 * SR)) / SR)).astype(np.float32)
+    shift = int(0.05 * SR)  # 50 ms = 2.5 hops
+    deg = np.concatenate([np.zeros(shift, np.float32), ref[:-shift]])
+    v_aligned, _ = visqol(deg, ref, SR)
+    naive = patch_nsim(gammatonegram(ref, SR), gammatonegram(deg, SR))
+    assert v_aligned > 0.95
+    assert v_aligned > naive
+
+
+def test_speech_mode_band_count():
+    g = gammatonegram(_tone(200, seconds=1.0), SR, n_bands=21)
+    assert g.shape[0] == 21
+    v, _ = visqol(_tone(200, seconds=1.0), _tone(200, seconds=1.0), SR,
+                  speech=True)
+    assert v > 0.999
+
+
+def test_nsim_to_mos_monotone_and_range():
+    vs = np.linspace(0.0, 1.0, 21)
+    mos = [nsim_to_mos(v) for v in vs]
+    assert all(b >= a for a, b in zip(mos, mos[1:]))
+    assert 1.0 <= mos[0] < 1.2
+    assert 4.5 < mos[-1] < 5.0
+
+
+def test_metrics_nsim_delegates():
+    from vrvq_tpu.metrics import cal_metrics, nsim
+
+    ref = _tone(440, seconds=1.0)[None, None]
+    assert nsim(ref, ref) > 0.999
+    assert cal_metrics(ref, ref, loss_fn="ViSQOL-MOS") > 4.5
+
+
+def test_silent_reference_falls_back():
+    z = np.zeros(SR, np.float32)
+    v, mos = visqol(z, z, SR)
+    assert 0.0 <= v <= 1.0 and 1.0 <= mos <= 5.0

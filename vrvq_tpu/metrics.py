@@ -145,56 +145,26 @@ def l1(recons, signal) -> float:
 
 
 def nsim(recons, signal, sample_rate: int = 44100, speech: bool = False) -> float:
-    """ViSQOL-style neurogram similarity (NSIM) between aligned signals.
+    """ViSQOL neurogram similarity (vnsim) between two signals, in [0, 1].
 
-    The reference's ViSQOL metric shells out to the Google visqol binary
-    via audiotools (models/utils.py:130-141). That binary is not available
-    here, so this computes the algorithm's similarity core directly: a
-    log-mel "neurogram" (the gammatone-bank stand-in) and the NSIM
-    luminance*structure index averaged over frequency bands — monotonic in
-    perceptual quality for a fixed content, in [0, 1]. It is NOT the
-    binary's calibrated MOS-LQO.
+    The reference shells out to the Google visqol binary via audiotools
+    (models/utils.py:130-141); that binary is unavailable here, so
+    ``vrvq_tpu.visqol`` implements the published pipeline directly
+    (ERB-spaced gammatone spectrogram, 30-frame silence-gated patches,
+    max-NSIM patch alignment, Gaussian-window luminance*structure). This
+    returns the mean patch NSIM; ``visqol.nsim_to_mos`` maps it to a
+    documented-but-uncalibrated MOS stand-in (the binary's trained SVR is
+    the one piece that cannot be reproduced without its model file).
     """
-    from .ops.stft import mel_spectrogram
-
-    import jax.numpy as jnp
+    from .visqol import visqol as _visqol
 
     est, ref = _pair(recons, signal)
-    sr = sample_rate
-    if speech:
-        n_mels, window = 21, 512
-    else:
-        n_mels, window = 32, 2048
-    hop = window // 4
-    e = np.asarray(mel_spectrogram(jnp.asarray(est, jnp.float32), sr, n_mels,
-                                   window, hop))
-    r = np.asarray(mel_spectrogram(jnp.asarray(ref, jnp.float32), sr, n_mels,
-                                   window, hop))
-    e = 20.0 * np.log10(np.maximum(e, 1e-8))
-    r = 20.0 * np.log10(np.maximum(r, 1e-8))
-
-    # NSIM with a 3x3 mean window, C1/C2 from the dynamic range
-    L = r.max() - r.min() + 1e-9
-    c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
-
-    def smooth(x):
-        k = np.ones((3, 3)) / 9.0
-        from scipy.signal import convolve2d
-
-        out = np.empty_like(x)
-        flat = x.reshape(-1, x.shape[-2], x.shape[-1])
-        outf = out.reshape(-1, x.shape[-2], x.shape[-1])
-        for i in range(flat.shape[0]):
-            outf[i] = convolve2d(flat[i], k, mode="same", boundary="symm")
-        return out
-
-    mu_e, mu_r = smooth(e), smooth(r)
-    var_e = smooth(e * e) - mu_e ** 2
-    var_r = smooth(r * r) - mu_r ** 2
-    cov = smooth(e * r) - mu_e * mu_r
-    lum = (2 * mu_e * mu_r + c1) / (mu_e ** 2 + mu_r ** 2 + c1)
-    struct = (cov + c2 / 2) / (np.sqrt(np.maximum(var_e, 0) * np.maximum(var_r, 0)) + c2 / 2)
-    return float(np.clip(np.mean(lum * struct), 0.0, 1.0))
+    vals = []
+    for e, r in zip(est.reshape(-1, est.shape[-1]),
+                    ref.reshape(-1, ref.shape[-1])):
+        v, _ = _visqol(e, r, sample_rate, speech=speech)
+        vals.append(v)
+    return float(np.mean(vals))
 
 
 def cal_metrics(recons, signal, state=None, loss_fn: str = "mel") -> float:
@@ -221,6 +191,10 @@ def cal_metrics(recons, signal, state=None, loss_fn: str = "mel") -> float:
         return nsim(recons, signal, speech=False)
     if loss_fn == "ViSQOL-speech":
         return nsim(recons, signal, speech=True)
+    if loss_fn == "ViSQOL-MOS":
+        from .visqol import nsim_to_mos
+
+        return nsim_to_mos(nsim(recons, signal, speech=False))
     raise ValueError(f"Unknown loss function: {loss_fn}")
 
 

@@ -1,0 +1,181 @@
+"""ViSQOL-style perceptual quality: gammatone NSIM + patch alignment.
+
+The reference dispatches quality scoring to the Google ViSQOL binary via
+audiotools (reference: models/utils.py:130-141). That binary (and its
+trained SVR that maps similarity to MOS-LQO) is not available here, so
+this module implements the published algorithm structure directly
+[Hines et al., "ViSQOL: an objective speech quality model", 2015;
+Chinen et al., "ViSQOL v3", 2020]:
+
+  1. a gammatone "neurogram" — an ERB-spaced 4th-order gammatone
+     filterbank applied to a Hann power spectrogram (audio mode: 32 bands
+     from 50 Hz, 80 ms window / 20 ms hop; speech mode: 21 bands),
+  2. 30-frame reference patches (silence-gated),
+  3. per-patch alignment against the degraded signal (max-NSIM search
+     over a +/-1 patch-length window),
+  4. NSIM per aligned patch: luminance * structure over a 3x3 Gaussian
+     (sigma 0.5) neighborhood, averaged; mean over patches = vnsim.
+
+``nsim_to_mos`` is an explicit, documented logistic stand-in for the
+binary's trained SVR — monotone and anchored (vnsim 1.0 -> ~4.73 MOS,
+the binary's own ceiling; 0.6 -> ~1.6) but NOT calibrated on subjective
+data. Report vnsim when comparing codecs; treat the MOS as indicative.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["gammatonegram", "visqol", "nsim_to_mos", "patch_nsim"]
+
+
+def _erb(f: np.ndarray) -> np.ndarray:
+    """Equivalent rectangular bandwidth at frequency f (Glasberg & Moore)."""
+    return 24.7 * (4.37 * f / 1000.0 + 1.0)
+
+
+def _erb_space(fmin: float, fmax: float, n: int) -> np.ndarray:
+    """n center frequencies equally spaced on the ERB-rate scale."""
+    # ERB-rate scale: E(f) = 21.4 log10(1 + 4.37 f / 1000)
+    def rate(f):
+        return 21.4 * np.log10(1.0 + 4.37 * f / 1000.0)
+
+    def inv(e):
+        return (10.0 ** (e / 21.4) - 1.0) * 1000.0 / 4.37
+
+    return inv(np.linspace(rate(fmin), rate(fmax), n))
+
+
+def gammatone_weights(n_bands: int, fmin: float, sr: int,
+                      n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(n_bands, n_fft//2+1) matrix of 4th-order gammatone magnitude
+    responses at ERB-spaced centers, peak-normalized per band."""
+    fmax = 0.5 * sr
+    centers = _erb_space(fmin, fmax * 0.95, n_bands)
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    # |H(f)|^2 of a 4th-order gammatone ~ [1 + ((f-fc)/b)^2]^-4,
+    # b = 1.019 * ERB(fc)
+    b = 1.019 * _erb(centers)
+    d = (freqs[None, :] - centers[:, None]) / b[:, None]
+    w = (1.0 + d * d) ** -4.0
+    w /= w.max(axis=1, keepdims=True)
+    return w, centers
+
+
+def gammatonegram(x: np.ndarray, sr: int, n_bands: int = 32,
+                  fmin: float = 50.0, window_s: float = 0.08,
+                  hop_s: float = 0.02) -> np.ndarray:
+    """(n_bands, frames) gammatone power spectrogram in dB."""
+    x = np.asarray(x, np.float64).reshape(-1)
+    win = int(round(window_s * sr))
+    hop = int(round(hop_s * sr))
+    n_fft = 1 << int(np.ceil(np.log2(max(win, 2))))
+    if x.size < win:
+        x = np.pad(x, (0, win - x.size))
+    n_frames = 1 + (x.size - win) // hop
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(win)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n_fft, axis=1)) ** 2  # (frames, bins)
+    weights, _ = gammatone_weights(n_bands, fmin, sr, n_fft)
+    bands = spec @ weights.T  # (frames, bands)
+    return 10.0 * np.log10(np.maximum(bands.T, 1e-12))
+
+
+def _gauss_kernel(size: int = 3, sigma: float = 0.5) -> np.ndarray:
+    r = np.arange(size) - (size - 1) / 2.0
+    k = np.exp(-0.5 * (r / sigma) ** 2)
+    k2 = np.outer(k, k)
+    return k2 / k2.sum()
+
+
+def patch_nsim(ref: np.ndarray, deg: np.ndarray,
+               dynamic_range: Optional[float] = None) -> float:
+    """NSIM between two equally-shaped (bands, frames) dB patches.
+
+    Luminance * structure (SSIM without the contrast term) over a 3x3
+    Gaussian (sigma 0.5) neighborhood — the ViSQOL similarity measure.
+    """
+    from scipy.signal import convolve2d
+
+    L = (dynamic_range if dynamic_range is not None
+         else max(ref.max() - ref.min(), 1e-9))
+    c1 = (0.01 * L) ** 2
+    c3 = ((0.03 * L) ** 2) / 2.0
+    k = _gauss_kernel()
+
+    def smooth(a):
+        return convolve2d(a, k, mode="same", boundary="symm")
+
+    mu_r, mu_d = smooth(ref), smooth(deg)
+    var_r = np.maximum(smooth(ref * ref) - mu_r ** 2, 0.0)
+    var_d = np.maximum(smooth(deg * deg) - mu_d ** 2, 0.0)
+    cov = smooth(ref * deg) - mu_r * mu_d
+    lum = (2.0 * mu_r * mu_d + c1) / (mu_r ** 2 + mu_d ** 2 + c1)
+    struct = (cov + c3) / (np.sqrt(var_r * var_d) + c3)
+    return float(np.clip(np.mean(lum * struct), 0.0, 1.0))
+
+
+def visqol(degraded: np.ndarray, reference: np.ndarray, sample_rate: int,
+           speech: bool = False, patch_frames: int = 30,
+           search_frames: Optional[int] = None) -> Tuple[float, float]:
+    """(vnsim, mos) between a degraded and a reference signal.
+
+    Audio mode (default): 32 gammatone bands from 50 Hz. Speech mode: 21
+    bands (ViSQOL's speech pipeline also downsamples to 16 kHz and applies
+    VAD; here only the band count changes). Patches of ``patch_frames``
+    spectrogram frames are cut from the reference (frames whose band-mean
+    energy is > 20 dB below the loudest frame), each aligned to the
+    degraded gammatonegram by max-NSIM search within ``search_frames``
+    (default: one patch length) and scored; vnsim is the patch mean.
+    """
+    n_bands = 21 if speech else 32
+    g_ref = gammatonegram(reference, sample_rate, n_bands)
+    g_deg = gammatonegram(degraded, sample_rate, n_bands)
+    frames = min(g_ref.shape[1], g_deg.shape[1])
+    g_ref, g_deg = g_ref[:, :frames], g_deg[:, :frames]
+    # NSIM (like SSIM) assumes nonnegative intensities; raw dB values are
+    # signed and their noise floor is unbounded below. Clamp both
+    # neurograms to a fixed 70 dB dynamic range under the reference peak
+    # and shift to [0, 70] (the visqol pipeline similarly floors its
+    # spectrograms before similarity).
+    L = 70.0
+    floor = g_ref.max() - L
+    g_ref = np.maximum(g_ref - floor, 0.0)
+    g_deg = np.maximum(g_deg - floor, 0.0)
+    if search_frames is None:
+        search_frames = patch_frames
+
+    # reference patch starts, gated on activity
+    frame_energy = g_ref.mean(axis=0)
+    active = frame_energy > frame_energy.max() - 20.0
+    starts = [s for s in range(0, frames - patch_frames + 1, patch_frames)
+              if active[s:s + patch_frames].any()]
+    if not starts:  # fully silent reference: fall back to whole-signal NSIM
+        return patch_nsim(g_ref, g_deg, L), nsim_to_mos(patch_nsim(g_ref, g_deg, L))
+
+    scores = []
+    for s in starts:
+        ref_patch = g_ref[:, s:s + patch_frames]
+        lo = max(0, s - search_frames)
+        hi = min(frames - patch_frames, s + search_frames)
+        best = 0.0
+        for t in range(lo, hi + 1):
+            best = max(best, patch_nsim(ref_patch,
+                                        g_deg[:, t:t + patch_frames], L))
+        scores.append(best)
+    vnsim = float(np.mean(scores))
+    return vnsim, nsim_to_mos(vnsim)
+
+
+def nsim_to_mos(vnsim: float) -> float:
+    """Monotone logistic vnsim -> MOS-LQO stand-in (UNCALIBRATED).
+
+    The real ViSQOL maps NSIM to MOS with an SVR trained on subjective
+    listening data shipped inside the binary; without it we use
+    ``1 + 3.73 / (1 + exp(-12 (v - 0.75)))`` — anchored so a perfect
+    signal scores ~4.73 (the binary's published ceiling) and v=0.6 maps
+    to ~1.6. Use vnsim itself for codec-to-codec comparisons.
+    """
+    return float(1.0 + 3.73 / (1.0 + np.exp(-12.0 * (vnsim - 0.75))))
