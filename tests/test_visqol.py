@@ -97,6 +97,27 @@ def test_metrics_nsim_delegates():
 
 
 def test_silent_reference_falls_back():
+    """A silent reference must not sail through the patch path: the
+    absolute -60 dB activity floor leaves no active frames, so the
+    whole-signal fallback runs; silence-vs-noise scores low."""
     z = np.zeros(SR, np.float32)
     v, mos = visqol(z, z, SR)
     assert 0.0 <= v <= 1.0 and 1.0 <= mos <= 5.0
+    rng = np.random.RandomState(0)
+    noise = 0.1 * rng.randn(SR).astype(np.float32)
+    v_noise, mos_noise = visqol(noise, z, SR)
+    assert v_noise < 0.8 and mos_noise < 3.0
+
+
+def test_mos_is_per_item_mean():
+    """cal_metrics ViSQOL-MOS averages per-item MOS, not MOS of the mean
+    vnsim (they diverge on mixed-quality batches under the steep logistic)."""
+    from vrvq_tpu.metrics import _visqol_batch
+    from vrvq_tpu.visqol import nsim_to_mos
+
+    rng = np.random.RandomState(5)
+    ref = np.stack([_tone(440), _tone(440)])[:, None]
+    deg = ref.copy()
+    deg[1] += 0.5 * rng.randn(*deg[1].shape).astype(np.float32)
+    v_mean, mos_mean = _visqol_batch(deg, ref)
+    assert mos_mean != pytest.approx(nsim_to_mos(v_mean), abs=1e-6)

@@ -156,15 +156,25 @@ def nsim(recons, signal, sample_rate: int = 44100, speech: bool = False) -> floa
     documented-but-uncalibrated MOS stand-in (the binary's trained SVR is
     the one piece that cannot be reproduced without its model file).
     """
+    return _visqol_batch(recons, signal, sample_rate, speech)[0]
+
+
+def _visqol_batch(recons, signal, sample_rate: int = 44100,
+                  speech: bool = False) -> tuple:
+    """(mean vnsim, mean per-item MOS) over the batch. MOS is averaged
+    per item (the listening-test convention) rather than mapping the mean
+    vnsim — the logistic is steep enough that the two diverge on
+    mixed-quality batches."""
     from .visqol import visqol as _visqol
 
     est, ref = _pair(recons, signal)
-    vals = []
+    vs, moss = [], []
     for e, r in zip(est.reshape(-1, est.shape[-1]),
                     ref.reshape(-1, ref.shape[-1])):
-        v, _ = _visqol(e, r, sample_rate, speech=speech)
-        vals.append(v)
-    return float(np.mean(vals))
+        v, m = _visqol(e, r, sample_rate, speech=speech)
+        vs.append(v)
+        moss.append(m)
+    return float(np.mean(vs)), float(np.mean(moss))
 
 
 def cal_metrics(recons, signal, state=None, loss_fn: str = "mel") -> float:
@@ -192,9 +202,7 @@ def cal_metrics(recons, signal, state=None, loss_fn: str = "mel") -> float:
     if loss_fn == "ViSQOL-speech":
         return nsim(recons, signal, speech=True)
     if loss_fn == "ViSQOL-MOS":
-        from .visqol import nsim_to_mos
-
-        return nsim_to_mos(nsim(recons, signal, speech=False))
+        return _visqol_batch(recons, signal, speech=False)[1]
     raise ValueError(f"Unknown loss function: {loss_fn}")
 
 

@@ -164,8 +164,9 @@ def load(
         train_step = jax.jit(fused, donate_argnums=(0,))
     val_step = make_val_step(generator, stft_loss, mel_loss, waveform_loss)
 
+    hop = generator.hop_length
     sample = jnp.zeros(
-        (1, 1, int(np.ceil(0.38 * generator.sample_rate / 512) * 512)),
+        (1, 1, int(np.ceil(0.38 * generator.sample_rate / hop) * hop)),
         jnp.float32,
     )
     tracker.print(
@@ -227,17 +228,15 @@ def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
     signal = batch["signal"]
     args = batch.get("transform_args", {})
     transformed = state.train_data.transform(signal, **args)
+    # NOTE: the clip is fed at its native length — the model pads to a hop
+    # multiple in-graph and trims the recon back, so the losses compare the
+    # true clip exactly like the reference. Pre-padding here would leak the
+    # zero tail into the losses/discriminator (a parity break) for a cache
+    # win; if you want train steps to share compiled programs with bench,
+    # choose a hop-multiple train duration in the config instead.
     audio = jnp.asarray(
         transformed.audio_data if isinstance(transformed, Signal) else transformed
     )
-    # pad the clip to a hop multiple host-side (the model's in-graph
-    # preprocess would do it anyway): keeps the train-step input shape
-    # identical across clip durations and to the bench/dryrun programs, so
-    # the persistent compilation cache hits
-    hop = state.generator.hop_length
-    frames = int(np.ceil(audio.shape[-1] / hop) * hop)
-    if frames != audio.shape[-1]:
-        audio = jnp.pad(audio, ((0, 0), (0, 0), (0, frames - audio.shape[-1])))
     if state.mesh.devices.size > 1:
         audio = shard_batch(audio, state.mesh)
     return audio
@@ -263,8 +262,6 @@ def validate(state: State, batch_size: int,
             transformed.audio_data if isinstance(transformed, Signal)
             else transformed
         )
-        frames = int(np.ceil(audio.shape[-1] / 512) * 512)
-        audio = jnp.pad(audio, ((0, 0), (0, 0), (0, frames - audio.shape[-1])))
         out = state.val_step(state.train_state.gen_params, audio)
         results.append({k: float(v) for k, v in out.items()})
         state.tracker.log_metrics("val", results[-1])
@@ -280,10 +277,8 @@ def save_samples(state: State, val_idx: List[int], writer) -> None:
     batch = state.val_data.collate(items)
     signal = batch["signal"]
     audio = jnp.asarray(signal.audio_data)
-    frames = int(np.ceil(audio.shape[-1] / 512) * 512)
-    audio_p = jnp.pad(audio, ((0, 0), (0, 0), (0, frames - audio.shape[-1])))
     out = state.generator.apply(
-        state.train_state.gen_params, audio_p, level=1.0
+        state.train_state.gen_params, audio, level=1.0
     )
     recons = np.asarray(out["audio"])
     sr = state.generator.sample_rate

@@ -90,6 +90,32 @@ def _gauss_kernel(size: int = 3, sigma: float = 0.5) -> np.ndarray:
     return k2 / k2.sum()
 
 
+def _smooth(a: np.ndarray) -> np.ndarray:
+    from scipy.signal import convolve2d
+
+    return convolve2d(a, _gauss_kernel(), mode="same", boundary="symm")
+
+
+def _ref_stats(ref: np.ndarray):
+    mu_r = _smooth(ref)
+    var_r = np.maximum(_smooth(ref * ref) - mu_r ** 2, 0.0)
+    return mu_r, var_r
+
+
+def _nsim_from_stats(ref, mu_r, var_r, deg, L: float) -> float:
+    """NSIM given precomputed reference-patch statistics (the alignment
+    search scores one reference patch against many offsets — recomputing
+    mu_r/var_r per offset would triple the convolution count)."""
+    c1 = (0.01 * L) ** 2
+    c3 = ((0.03 * L) ** 2) / 2.0
+    mu_d = _smooth(deg)
+    var_d = np.maximum(_smooth(deg * deg) - mu_d ** 2, 0.0)
+    cov = _smooth(ref * deg) - mu_r * mu_d
+    lum = (2.0 * mu_r * mu_d + c1) / (mu_r ** 2 + mu_d ** 2 + c1)
+    struct = (cov + c3) / (np.sqrt(var_r * var_d) + c3)
+    return float(np.clip(np.mean(lum * struct), 0.0, 1.0))
+
+
 def patch_nsim(ref: np.ndarray, deg: np.ndarray,
                dynamic_range: Optional[float] = None) -> float:
     """NSIM between two equally-shaped (bands, frames) dB patches.
@@ -97,24 +123,10 @@ def patch_nsim(ref: np.ndarray, deg: np.ndarray,
     Luminance * structure (SSIM without the contrast term) over a 3x3
     Gaussian (sigma 0.5) neighborhood — the ViSQOL similarity measure.
     """
-    from scipy.signal import convolve2d
-
     L = (dynamic_range if dynamic_range is not None
          else max(ref.max() - ref.min(), 1e-9))
-    c1 = (0.01 * L) ** 2
-    c3 = ((0.03 * L) ** 2) / 2.0
-    k = _gauss_kernel()
-
-    def smooth(a):
-        return convolve2d(a, k, mode="same", boundary="symm")
-
-    mu_r, mu_d = smooth(ref), smooth(deg)
-    var_r = np.maximum(smooth(ref * ref) - mu_r ** 2, 0.0)
-    var_d = np.maximum(smooth(deg * deg) - mu_d ** 2, 0.0)
-    cov = smooth(ref * deg) - mu_r * mu_d
-    lum = (2.0 * mu_r * mu_d + c1) / (mu_r ** 2 + mu_d ** 2 + c1)
-    struct = (cov + c3) / (np.sqrt(var_r * var_d) + c3)
-    return float(np.clip(np.mean(lum * struct), 0.0, 1.0))
+    mu_r, var_r = _ref_stats(ref)
+    return _nsim_from_stats(ref, mu_r, var_r, deg, L)
 
 
 def visqol(degraded: np.ndarray, reference: np.ndarray, sample_rate: int,
@@ -125,16 +137,26 @@ def visqol(degraded: np.ndarray, reference: np.ndarray, sample_rate: int,
     Audio mode (default): 32 gammatone bands from 50 Hz. Speech mode: 21
     bands (ViSQOL's speech pipeline also downsamples to 16 kHz and applies
     VAD; here only the band count changes). Patches of ``patch_frames``
-    spectrogram frames are cut from the reference (frames whose band-mean
-    energy is > 20 dB below the loudest frame), each aligned to the
-    degraded gammatonegram by max-NSIM search within ``search_frames``
-    (default: one patch length) and scored; vnsim is the patch mean.
+    spectrogram frames are cut from the reference wherever a frame is
+    active (within 20 dB of the loudest frame and above -60 dB absolute),
+    each aligned to the degraded gammatonegram by max-NSIM search within
+    ``search_frames`` (default: one patch length) and scored; vnsim is the
+    patch mean.
     """
     n_bands = 21 if speech else 32
     g_ref = gammatonegram(reference, sample_rate, n_bands)
     g_deg = gammatonegram(degraded, sample_rate, n_bands)
     frames = min(g_ref.shape[1], g_deg.shape[1])
     g_ref, g_deg = g_ref[:, :frames], g_deg[:, :frames]
+
+    # reference-frame activity gate, on RAW dB: a frame is active if it is
+    # within 20 dB of the loudest frame AND above an absolute -60 dB floor
+    # (without the absolute floor, a silent reference would mark every
+    # frame active and score silence-vs-anything through the patch path)
+    frame_energy = g_ref.mean(axis=0)
+    active = ((frame_energy > frame_energy.max() - 20.0)
+              & (frame_energy > -60.0))
+
     # NSIM (like SSIM) assumes nonnegative intensities; raw dB values are
     # signed and their noise floor is unbounded below. Clamp both
     # neurograms to a fixed 70 dB dynamic range under the reference peak
@@ -147,23 +169,22 @@ def visqol(degraded: np.ndarray, reference: np.ndarray, sample_rate: int,
     if search_frames is None:
         search_frames = patch_frames
 
-    # reference patch starts, gated on activity
-    frame_energy = g_ref.mean(axis=0)
-    active = frame_energy > frame_energy.max() - 20.0
     starts = [s for s in range(0, frames - patch_frames + 1, patch_frames)
               if active[s:s + patch_frames].any()]
-    if not starts:  # fully silent reference: fall back to whole-signal NSIM
-        return patch_nsim(g_ref, g_deg, L), nsim_to_mos(patch_nsim(g_ref, g_deg, L))
+    if not starts:  # silent/too-short reference: whole-signal NSIM
+        vnsim = patch_nsim(g_ref, g_deg, L)
+        return vnsim, nsim_to_mos(vnsim)
 
     scores = []
     for s in starts:
         ref_patch = g_ref[:, s:s + patch_frames]
+        mu_r, var_r = _ref_stats(ref_patch)
         lo = max(0, s - search_frames)
         hi = min(frames - patch_frames, s + search_frames)
         best = 0.0
         for t in range(lo, hi + 1):
-            best = max(best, patch_nsim(ref_patch,
-                                        g_deg[:, t:t + patch_frames], L))
+            best = max(best, _nsim_from_stats(
+                ref_patch, mu_r, var_r, g_deg[:, t:t + patch_frames], L))
         scores.append(best)
     vnsim = float(np.mean(scores))
     return vnsim, nsim_to_mos(vnsim)
