@@ -176,26 +176,60 @@ def bench_train_step(model, params):
     return dt * 1e3
 
 
-def main():
+def _run_phase(phase: str, timeout_s: int = 1200):
+    """Run an optional bench phase in a subprocess and parse its one-line
+    JSON. Isolation matters: a flaky remote compile/runtime can wedge a
+    dispatch indefinitely (observed: cached train-step executables dying
+    UNIMPLEMENTED after a remote runtime restart, then hanging the device)
+    — a hung optional phase must cost its field, not the headline JSON."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, f"--phase={phase}"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"# {phase} bench produced no JSON "
+              f"(rc={proc.returncode}): {proc.stderr[-300:]}", file=sys.stderr)
+    except Exception as e:
+        print(f"# {phase} bench failed: {e!r}", file=sys.stderr)
+    return {}
+
+
+def _build():
     from __graft_entry__ import _flagship, _init
 
     model = _flagship()
     n0 = ((int(10.0 * SAMPLE_RATE) + 511) // 512) * 512
     params = _init(model, jnp.zeros((1, 1, n0), jnp.float32))
+    return model, params
 
-    rtf, mfu, rtf_live, (fast_model, fast_params) = bench_forward(model, params)
 
-    rtf_b32 = None
-    try:
-        rtf_b32 = bench_b32_chunked(fast_model, fast_params)
-    except Exception as e:
-        print(f"# b32 chunked bench failed: {e!r}", file=sys.stderr)
+def main():
+    phase = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                  if a.startswith("--phase=")), None)
+    if phase is not None:
+        model, params = _build()
+        if phase == "b32":
+            from vrvq_tpu.infer.fast import make_inference_model
 
-    train_ms = None
-    try:
-        train_ms = bench_train_step(model, params)
-    except Exception as e:
-        print(f"# train-step bench failed: {e!r}", file=sys.stderr)
+            fast_model, fast_params = make_inference_model(model, params)
+            print(json.dumps(
+                {"rtf_b32_chunked": round(bench_b32_chunked(fast_model, fast_params), 2)}
+            ))
+        elif phase == "train":
+            print(json.dumps(
+                {"train_step_ms": round(bench_train_step(model, params), 1)}
+            ))
+        else:
+            raise SystemExit(f"unknown phase {phase}")
+        return
+
+    model, params = _build()
+    rtf, mfu, rtf_live, _ = bench_forward(model, params)
 
     out = {
         "metric": "encode_decode_realtime_factor",
@@ -207,10 +241,8 @@ def main():
         out["mfu"] = round(mfu, 4)
     if rtf_live is not None:
         out["rtf_live_f32"] = round(rtf_live, 2)
-    if rtf_b32 is not None:
-        out["rtf_b32_chunked"] = round(rtf_b32, 2)
-    if train_ms is not None:
-        out["train_step_ms"] = round(train_ms, 1)
+    out.update(_run_phase("b32"))
+    out.update(_run_phase("train"))
     print(json.dumps(out))
 
 
