@@ -237,6 +237,178 @@ def make_split_train_steps(
     return d_step, g_step
 
 
+def make_accum_train_step(
+    generator,
+    discriminator,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    lambdas: Dict[str, float],
+    stft_loss,
+    mel_loss,
+    waveform_loss,
+    accum_steps: int,
+    remat: bool = False,
+    split: bool = False,
+):
+    """Gradient-accumulated GAN step: effective batch = ``accum_steps`` ×
+    the micro-batch that fits in HBM.
+
+    The reference reaches batch 64 by DDP over ≤8 GPUs
+    (conf/training.yml:2, scripts/main.sh:3); one TPU chip comfortably fits
+    a 16×0.38 s micro-batch, so the same effective batch comes from
+    ``lax.scan``-ing ``accum_steps`` micro-batches and applying ONE
+    optimizer update on the mean gradient. Update ordering matches the
+    reference (scripts/train.py:287-330): one discriminator update from
+    the mean disc-gradient over every micro-batch, then one generator
+    update against the *updated* discriminator. Each micro-batch draws its
+    own level/dropout rng (iid per-sample draws — exactly what one large
+    batch would do). Since every loss is a batch mean, the mean of
+    micro-gradients equals the full-batch gradient, so grad clipping and
+    AdamW see the same statistics as a genuine large batch.
+
+    lax.scan keeps peak activation memory at micro-batch scale; only the
+    accumulated gradient pytree (~330 MB f32 for the 82M generator)
+    persists across scan iterations.
+
+    ``split=True`` returns ``(d_step, g_step)`` like
+    :func:`make_split_train_steps` (same call protocol: same rng to both).
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def gen_forward(gen_params, audio, rng):
+        rng_vbr, rng_drop = jax.random.split(rng)
+
+        def apply(p, a):
+            return generator.apply(
+                p, a, train=True,
+                rngs={"vbr": rng_vbr, "vbr_dropout": rng_drop},
+            )
+
+        if remat:
+            apply = jax.checkpoint(apply)
+        return apply(gen_params, audio)
+
+    def _micro_split(audio, rng):
+        b = audio.shape[0]
+        if b % accum_steps:
+            raise ValueError(
+                f"batch {b} is not divisible by grad_accum_steps="
+                f"{accum_steps}"
+            )
+        micro = audio.reshape(accum_steps, b // accum_steps, *audio.shape[1:])
+        return micro, jax.random.split(rng, accum_steps)
+
+    def _disc_phase(gen_params, disc_params, micro, rngs):
+        """Mean discriminator gradient over all micro-batches."""
+
+        def body(acc, xs):
+            audio_i, rng_i = xs
+            out = gen_forward(gen_params, audio_i, rng_i)
+            recons = jax.lax.stop_gradient(out["audio"])
+
+            def d_loss_fn(dp):
+                f_fake = discriminator.apply(dp, recons)
+                f_real = discriminator.apply(dp, audio_i)
+                return discriminator_loss(f_fake, f_real)
+
+            loss, grads = jax.value_and_grad(d_loss_fn)(disc_params)
+            return jax.tree_util.tree_map(jnp.add, acc, grads), loss
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, disc_params)
+        acc, losses = jax.lax.scan(body, zeros, (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, acc)
+        return grads, jnp.mean(losses)
+
+    def _gen_phase(gen_params, disc_params, micro, rngs):
+        """Mean generator gradient (vs a fixed discriminator) + mean losses."""
+
+        def body(acc, xs):
+            audio_i, rng_i = xs
+
+            def g_loss_fn(p):
+                g_out = gen_forward(p, audio_i, rng_i)
+                g_recons = g_out["audio"]
+                losses: Dict[str, jnp.ndarray] = {}
+                losses["stft/loss"] = stft_loss(g_recons, audio_i)
+                losses["mel/loss"] = mel_loss(g_recons, audio_i)
+                losses["waveform/loss"] = waveform_loss(g_recons, audio_i)
+                f_fake = discriminator.apply(disc_params, g_recons)
+                f_real = discriminator.apply(disc_params, audio_i)
+                adv_g, adv_feat = generator_loss(f_fake, f_real)
+                losses["adv/gen_loss"] = adv_g
+                losses["adv/feat_loss"] = adv_feat
+                losses["vq/commitment_loss"] = g_out["vq/commitment_loss"]
+                losses["vq/codebook_loss"] = g_out["vq/codebook_loss"]
+                if g_out["imp_map"] is not None:
+                    losses["vq/rate_loss"] = jnp.mean(g_out["imp_map"])
+                total = sum(
+                    weight * losses[key]
+                    for key, weight in lambdas.items()
+                    if key in losses
+                )
+                losses["loss"] = total
+                return total, losses
+
+            (_, losses), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(gen_params)
+            return jax.tree_util.tree_map(jnp.add, acc, grads), losses
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, gen_params)
+        acc, losses = jax.lax.scan(body, zeros, (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, acc)
+        return grads, jax.tree_util.tree_map(jnp.mean, losses)
+
+    def d_step(state: TrainState, audio, rng):
+        micro, rngs = _micro_split(audio, rng)
+        d_grads, d_loss = _disc_phase(
+            state.gen_params, state.disc_params, micro, rngs
+        )
+        d_updates, new_opt_d = opt_d.update(
+            d_grads, state.opt_d, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        metrics = {
+            "adv/disc_loss": d_loss,
+            "other/grad_norm_d": optax.global_norm(d_grads),
+        }
+        return (
+            state.replace(disc_params=new_disc_params, opt_d=new_opt_d),
+            metrics,
+        )
+
+    def g_step(state: TrainState, audio, rng):
+        micro, rngs = _micro_split(audio, rng)
+        g_grads, g_losses = _gen_phase(
+            state.gen_params, state.disc_params, micro, rngs
+        )
+        g_updates, new_opt_g = opt_g.update(
+            g_grads, state.opt_g, state.gen_params
+        )
+        new_gen_params = optax.apply_updates(state.gen_params, g_updates)
+        g_losses["other/grad_norm_g"] = optax.global_norm(g_grads)
+        return (
+            state.replace(
+                gen_params=new_gen_params, opt_g=new_opt_g,
+                step=state.step + 1,
+            ),
+            g_losses,
+        )
+
+    if split:
+        return d_step, g_step
+
+    def train_step(state: TrainState, audio, rng):
+        new_state, m_d = d_step(state, audio, rng)
+        new_state, output = g_step(new_state, audio, rng)
+        output.update(m_d)
+        output["other/batch_size"] = jnp.asarray(audio.shape[0], jnp.float32)
+        return new_state, {k: v for k, v in sorted(output.items())}
+
+    return train_step
+
+
 def make_val_step(generator, stft_loss, mel_loss, waveform_loss) -> Callable:
     """Eval-mode forward + losses (reference: scripts/train.py:231-259)."""
 

@@ -139,7 +139,35 @@ def load(
 
     lambdas = cfg.get("lambdas", {})
     remat = bool(cfg.get("remat", False))
-    if cfg.get("split_train_step", False):
+    accum = int(cfg.get("grad_accum_steps", 1))
+    loss_args = (lambdas, stft_loss, mel_loss, waveform_loss)
+    if accum > 1:
+        # effective batch = batch_size, HBM footprint = batch_size / accum
+        # (the reference's batch-64 regime on one chip; loop.py docstring)
+        from .loop import make_accum_train_step
+
+        if cfg.get("split_train_step", False):
+            d_step, g_step = make_accum_train_step(
+                generator, discriminator, opt_g, opt_d, *loss_args,
+                accum_steps=accum, remat=remat, split=True,
+            )
+            d_jit = jax.jit(d_step, donate_argnums=(0,))
+            g_jit = jax.jit(g_step, donate_argnums=(0,))
+
+            def train_step(state, audio, rng):
+                state, m_d = d_jit(state, audio, rng)
+                state, m_g = g_jit(state, audio, rng)
+                m_g.update(m_d)
+                return state, m_g
+        else:
+            train_step = jax.jit(
+                make_accum_train_step(
+                    generator, discriminator, opt_g, opt_d, *loss_args,
+                    accum_steps=accum, remat=remat,
+                ),
+                donate_argnums=(0,),
+            )
+    elif cfg.get("split_train_step", False):
         # two jit programs (disc, gen): halves peak compile memory for the
         # full-size model at the cost of one extra generator forward
         from .loop import make_split_train_steps
