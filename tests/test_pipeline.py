@@ -91,6 +91,25 @@ def test_transforms_chain(wav_dir):
     assert float(jnp.max(jnp.abs(jnp.asarray(out.audio_data)))) <= 1.0 + 1e-5
 
 
+def test_transform_apply_on_host(wav_dir):
+    """Host-side application (the trainer default) must match the direct
+    device-side chain bit-for-bit and hand back numpy, so the accelerator
+    only ever sees the fully-prepared batch."""
+    from vrvq_tpu.data.transforms import apply_on_host
+
+    tfm = Compose(
+        Compose(VolumeNorm(db=("const", -16)), name="preprocess"),
+        Compose(ShiftPhase(), name="augment"),
+        Compose(RescaleAudio(), name="postprocess"),
+    )
+    sig = Signal.load(next(wav_dir.glob("*.wav")))
+    args = tfm.instantiate(np.random.RandomState(0), sig)
+    direct = np.asarray(tfm(sig, **args).audio_data)
+    hosted = apply_on_host(tfm, sig, args)
+    assert isinstance(hosted.audio_data, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(hosted.audio_data), direct)
+
+
 def test_volume_norm(wav_dir):
     sig = Signal.load(next(wav_dir.glob("*.wav")))
     vn = VolumeNorm(db=("const", -16))

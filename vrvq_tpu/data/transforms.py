@@ -13,10 +13,12 @@ masking selects per-sample application exactly like the reference.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..audio import Signal
@@ -171,6 +173,36 @@ class Compose(BaseTransform):
             return Signal(blended, signal.sample_rate, signal.stft_params,
                           signal.metadata)
         return blended
+
+
+def apply_on_host(transform: "BaseTransform", signal, all_args: Dict):
+    """Apply a transform chain on the host CPU backend; return numpy audio.
+
+    TPU-idiomatic input pipelines keep augmentation on the host: the
+    accelerator should only ever see the fully-prepared batch (one
+    transfer, one compiled program — the train step). Dispatching the
+    chain eagerly on the accelerator instead costs a dispatch round-trip
+    per op and a fresh XLA compile per new batch shape, for work (STFT
+    phase rotation, gain multiplies) that is trivial on CPU relative to a
+    GAN train step. Matches the reference's semantics (transforms run
+    under no_grad outside the optimized graph, scripts/train.py:272-277)
+    while moving the compute off the device.
+
+    Falls back to the default device if no CPU backend is registered.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        out = transform(signal, **all_args)
+        audio = out.audio_data if isinstance(out, Signal) else out
+        audio = np.asarray(audio)
+    if isinstance(signal, Signal):
+        return Signal(audio, signal.sample_rate, signal.stft_params,
+                      signal.metadata)
+    return audio
 
 
 TRANSFORM_REGISTRY = {

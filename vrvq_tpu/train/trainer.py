@@ -26,7 +26,7 @@ import numpy as np
 from ..audio import Signal
 from ..config import Config
 from ..data.loaders import AudioDataset, AudioLoader, ConcatDataset
-from ..data.transforms import build_transform
+from ..data.transforms import apply_on_host, build_transform
 from ..losses import (
     GANLoss, L1Loss, MelSpectrogramLoss, MultiScaleSTFTLoss,
 )
@@ -54,6 +54,10 @@ class State:
     val_data: Any
     tracker: Tracker
     mesh: Any
+    # augmentation runs on the host CPU backend by default (TPU input
+    # pipelines feed the device ready batches; set transforms_on_host:
+    # false in the config to dispatch the chain on the accelerator)
+    transforms_on_host: bool = True
 
 
 def build_dataset(cfg: Config, sample_rate: int, scope: str):
@@ -247,6 +251,7 @@ def load(
         val_data=val_data,
         tracker=tracker,
         mesh=mesh,
+        transforms_on_host=bool(cfg.get("transforms_on_host", True)),
     )
 
 
@@ -255,7 +260,10 @@ def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
     (reference: scripts/train.py:272-277, transform under no_grad)."""
     signal = batch["signal"]
     args = batch.get("transform_args", {})
-    transformed = state.train_data.transform(signal, **args)
+    if state.transforms_on_host:
+        transformed = apply_on_host(state.train_data.transform, signal, args)
+    else:
+        transformed = state.train_data.transform(signal, **args)
     # NOTE: the clip is fed at its native length — the model pads to a hop
     # multiple in-graph and trims the recon back, so the losses compare the
     # true clip exactly like the reference. Pre-padding here would leak the
@@ -285,7 +293,10 @@ def validate(state: State, batch_size: int,
         batch = state.val_data.collate(items)
         signal = batch["signal"]
         args = batch.get("transform_args", {})
-        transformed = state.val_data.transform(signal, **args)
+        if state.transforms_on_host:
+            transformed = apply_on_host(state.val_data.transform, signal, args)
+        else:
+            transformed = state.val_data.transform(signal, **args)
         audio = jnp.asarray(
             transformed.audio_data if isinstance(transformed, Signal)
             else transformed
