@@ -75,15 +75,13 @@ def test_chunked_codes_match_unchunked_interior(proc, tone):
     sig = Signal.load(tone)
     sig.normalize(-16)
     data = np.asarray(sig.audio_data, np.float32)
-    delay = proc.model.delay
+    n_samples, hop, _, delay = proc.window_geometry(0.5)
 
     f = proc.compress(tone, win_duration=0.5, n_quantizers=4,
                       normalize_db=-16)
 
     # single-shot padless encode over the same delay-padded signal
     padded = np.pad(data, ((0, 0), (0, 0), (delay, delay)))
-    n_samples = int(np.ceil(0.5 * 44100 / 512) * 512)
-    hop = proc.model_nopad.get_output_length(n_samples)
     # first window's codes must match the first chunk of the stream
     x = padded[..., :n_samples]
     enc = proc._encode_nopad(jnp.asarray(x), 4, 1.0)

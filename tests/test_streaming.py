@@ -102,9 +102,44 @@ def test_streaming_decoder_matches_chunked_decode(proc, tone):
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+def test_window_geometry_consistency(proc):
+    """Encoder/decoder derive the same chunk size from win_duration, and
+    the frames formula matches what the model actually produces."""
+    for wd in (0.7, 1.0):
+        enc = StreamingEncoder(proc, win_duration=wd, n_quantizers=2)
+        dec = StreamingDecoder(proc, win_duration=wd)
+        assert enc.chunk_frames == dec.chunk_frames
+        out = enc.push(np.zeros(enc.samples_to_first_chunk, np.float32))
+        assert len(out) == 1
+        codes, _ = out[0]
+        assert codes.shape[-1] == enc.chunk_frames  # formula == actual
+
+
+def test_chunk_decode_length_equals_stride(proc):
+    """Seamlessness invariant of the windowed spec: the padding-free
+    decode of one chunk's frames must be EXACTLY the window stride, or
+    concatenated chunks duplicate/drop audio at every boundary. For VBR
+    models this requires the stride walk to skip the importance subnet's
+    side-branch convs (window_geometry docstring) — the model-level walk
+    (model.get_output_length, which mirrors the reference's every-conv
+    walk, models/dac_base.py:112-127) understates it."""
+    for wd in (0.7, 1.0):
+        window, hop, frames, edge_delay = proc.window_geometry(wd)
+        c = jnp.zeros((1, proc.model.n_codebooks, frames), jnp.int32)
+        m = jnp.ones((1, proc.model.n_codebooks, frames), jnp.float32)
+        decoded = proc._decode_codes_nopad(c, m)
+        assert decoded.shape[-1] == hop
+        # coverage bookkeeping: the window consumes at least the edge
+        # delay on each side; strided-conv floor rounding can leave a few
+        # hundred extra unconsumed samples on the right, which is slack,
+        # not misalignment (the left offset is what the zero-pad matches)
+        assert window - hop >= 2 * edge_delay
+        assert edge_delay > 0
+
+
 def test_streaming_roundtrip_vbr(proc, tone):
     enc = StreamingEncoder(proc, win_duration=0.7, level=2.0)
-    dec = StreamingDecoder(proc)
+    dec = StreamingDecoder(proc, win_duration=0.7)
     audio_out = []
     for block in _random_blocks(tone, np.random.RandomState(2)):
         for codes, counts in enc.push(block):

@@ -7,8 +7,10 @@ the dead code is the spec, and this module implements it for real:
   * signals shorter than the window use the padded codec in one shot;
   * longer signals use the padding-free codec on fixed-size windows
     (static shapes -> one compiled XLA program per window size), zero-padded
-    by the model delay on both sides, with window stride equal to the
-    padding-free output length so decoded chunks concatenate seamlessly;
+    at both stream ends, with window stride equal to one chunk's
+    padding-free DECODE length so decoded chunks concatenate seamlessly
+    (see ``window_geometry`` for why that differs from the reference's
+    every-conv walk on VBR models);
   * loudness is measured (BS.1770) and normalized to ``normalize_db`` before
     encoding and restored after decoding, as the reference does.
 
@@ -28,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio import Signal
+from ..models import codec as codec_arith
 from ..models.codec import DACFile
 from ..ops.masks import generate_mask_hard
 
@@ -41,6 +44,14 @@ class CodecProcessor:
         self.model = model
         self.model_nopad = model.clone(padding=False)
         self.params = params
+        n_q = model.n_codebooks
+        # one jitted program for the VBR per-frame counts (imp_map -> counts)
+        # instead of eager op-by-op dispatch on the serving path
+        self._counts_fn = jax.jit(
+            lambda imp, lv: jnp.sum(
+                generate_mask_hard(imp * lv * n_q, n_q), axis=1
+            )
+        )
 
         self._encode_pad = jax.jit(
             lambda a, nq, lv: model.apply(
@@ -66,6 +77,52 @@ class CodecProcessor:
                 self.params, c, m, method=type(model).decode_from_codes
             )
         )
+
+    # ---------------------------------------------------------- geometry
+    def window_geometry(self, win_duration: float):
+        """``(window, hop, frames, delay)`` for the padding-free windowed
+        path: window size in padded-stream samples (hop-multiple), stride
+        in samples, codes frames per window, and the edge (zero-pad)
+        delay. Shared by :meth:`compress` and the streaming classes so
+        their window arithmetic cannot drift apart.
+
+        The stride/delay walk uses ONLY the encoder+decoder convs — i.e.
+        the chain the decoded audio actually passes through. The
+        reference's walk (models/dac_base.py:86-127, mirrored by
+        ``model.get_output_length``/``model.delay``) visits every
+        nn.Conv1d including the VBR importance subnet's k=3 convs, which
+        are a SIDE branch that never shortens the codes path; using that
+        walk here would understate the true per-chunk decode length
+        (frames * hop_length - decoder trim), so chunked decodes placed
+        at that stride would overlap-duplicate audio at every window
+        boundary. The reference never hits this because its compress is
+        a stub (models/dac_base.py:129-141) and its plain-DAC configs
+        have no importance subnet; for CBR models both walks agree.
+        Seamlessness invariant (tested): the nopad decode of one chunk's
+        frames is exactly ``hop`` samples long.
+        """
+        model = self.model
+        n_samples = int(win_duration * model.sample_rate)
+        window = int(
+            math.ceil(n_samples / model.hop_length) * model.hop_length
+        )
+        chain = (
+            codec_arith.encoder_conv_specs(model.encoder_rates)
+            + codec_arith.decoder_conv_specs(model.decoder_rates)
+        )
+        hop = codec_arith.output_length(chain, window)
+        edge_delay = codec_arith.delay(chain)
+        if hop <= 0:
+            min_win = (2 * edge_delay + model.hop_length) / model.sample_rate
+            raise ValueError(
+                f"win_duration={win_duration}s is smaller than the "
+                f"model's receptive field; the padding-free window "
+                f"produces no output. Use win_duration > {min_win:.2f}s."
+            )
+        frames = codec_arith.output_length(
+            codec_arith.encoder_conv_specs(model.encoder_rates), window
+        )
+        return window, hop, frames, edge_delay
 
     # ------------------------------------------------------------ compress
     def compress(
@@ -116,20 +173,8 @@ class CodecProcessor:
         else:
             # Chunked: padding-free codec, delay-padded ends
             padding = False
-            delay = model.delay
+            n_samples, hop, _, delay = self.window_geometry(win_duration)
             data = np.pad(data, ((0, 0), (0, 0), (delay, delay)))
-            n_samples = int(win_duration * model.sample_rate)
-            n_samples = int(
-                math.ceil(n_samples / model.hop_length) * model.hop_length
-            )
-            hop = self.model_nopad.get_output_length(n_samples)
-            if hop <= 0:
-                min_win = (2 * delay + model.hop_length) / model.sample_rate
-                raise ValueError(
-                    f"win_duration={win_duration}s is smaller than the "
-                    f"model's receptive field; the padding-free window "
-                    f"produces no output. Use win_duration > {min_win:.2f}s."
-                )
             codes_list = []
             counts_list = []
             total = data.shape[-1]
@@ -159,10 +204,11 @@ class CodecProcessor:
         )
 
     def _mask_counts(self, enc, vbr: bool, level: float) -> np.ndarray:
-        """(B, T) per-frame codebook counts from the importance map."""
-        n_q = self.model.n_codebooks
-        mask = generate_mask_hard(enc["imp_map"] * level * n_q, n_q)
-        return np.asarray(jnp.sum(mask, axis=1)).astype(np.uint8)
+        """(B, T) per-frame codebook counts from the importance map
+        (single jitted program — one device dispatch per window)."""
+        return np.asarray(
+            self._counts_fn(enc["imp_map"], jnp.float32(level))
+        ).astype(np.uint8)
 
     # ---------------------------------------------------------- decompress
     def decompress(

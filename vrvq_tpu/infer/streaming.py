@@ -5,29 +5,44 @@ constant memory — the serving-side counterpart of the file-oriented
 The reference's windowed-chunking spec (models/dac_base.py:196-284, dead
 code upstream; implemented for real in ``codec_api``) processes a whole
 file at once. A live service instead receives audio incrementally. These
-classes keep exactly the window arithmetic of ``CodecProcessor.compress``
-(padding-free codec, ``delay``-padded stream ends, stride = padding-free
-output length) but maintain it as *state*, so:
+classes share the window arithmetic of ``CodecProcessor.compress``
+(``CodecProcessor.window_geometry``: padding-free codec, ``delay``-padded
+stream ends, stride = padding-free output length) but maintain it as
+*state*, so:
 
   * ``StreamingEncoder.push(samples)`` accepts arbitrary-size sample
     blocks and yields ``(codes, vbr_counts)`` chunks as soon as each
-    window fills — the concatenation over a whole stream is bit-identical
-    to ``CodecProcessor.compress(...).codes`` for the same audio;
+    window fills;
   * ``StreamingDecoder.push(codes)`` accepts arbitrary-size frame blocks
     and yields waveform segments, concatenating to exactly the
-    ``decompress`` output (pre-normalization);
+    ``decompress`` output (pre-normalization; trim the concatenation to
+    the real stream length, as ``decompress`` trims to
+    ``original_length``);
   * memory is O(window), not O(stream).
 
-Loudness normalization is intentionally NOT part of the streaming path:
-BS.1770 loudness needs the whole signal (the reference normalizes per
-file, models/dac_base.py:164-171); a live stream should be gain-staged
-upstream. Algorithmic latency: the first codes chunk appears after
+Parity contract: for audio already in [-1, 1] and a stream LONGER than
+``win_duration``, the concatenated ``StreamingEncoder`` codes are
+bit-identical to ``CodecProcessor.compress(..., normalize_db=None)``.
+The two deliberate divergences from ``compress``:
+
+  * loudness/peak normalization is NOT part of the streaming path —
+    BS.1770 loudness and ``ensure_max_of_audio`` are *global* gains over
+    the whole signal (reference models/dac_base.py:164-171), which a live
+    stream cannot know; gain-stage upstream. Audio outside [-1, 1] is
+    therefore encoded as-is here but peak-rescaled by ``compress``.
+  * a stream no longer than one window still uses the windowed
+    padding-free codec (one zero-padded window), where ``compress`` picks
+    the padded one-shot codec for short files; the streaming
+    encode->decode roundtrip is self-consistent, but codes differ from
+    ``compress`` for such short inputs.
+
+Algorithmic latency: the first codes chunk appears after
 ``window - delay`` real samples; each chunk covers ``hop`` samples.
 
 Example::
 
     enc = StreamingEncoder(proc, win_duration=1.0, level=1.0)
-    dec = StreamingDecoder(proc)
+    dec = StreamingDecoder(proc, win_duration=1.0)
     for block in microphone():              # any block size
         for codes, counts in enc.push(block):
             for audio in dec.push(codes, counts):
@@ -44,7 +59,6 @@ from typing import Iterator, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.masks import generate_mask_hard
 from .codec_api import CodecProcessor
 
 
@@ -53,7 +67,7 @@ class StreamingEncoder:
 
     Parameters mirror ``CodecProcessor.compress`` (win_duration,
     n_quantizers, level); audio is a single mono stream at the model
-    sample rate.
+    sample rate, gain-staged to [-1, 1] upstream (see module docstring).
     """
 
     def __init__(
@@ -64,24 +78,13 @@ class StreamingEncoder:
         level: Optional[float] = None,
     ):
         self.proc = proc
-        model = proc.model
         self.n_quantizers = n_quantizers
         self.level = level
         self.vbr = n_quantizers is None and level is not None
 
-        self.delay = model.delay
-        n_samples = int(win_duration * model.sample_rate)
-        self.window = int(
-            math.ceil(n_samples / model.hop_length) * model.hop_length
+        self.window, self.hop, self.chunk_frames, self.delay = (
+            proc.window_geometry(win_duration)
         )
-        self.hop = proc.model_nopad.get_output_length(self.window)
-        if self.hop <= 0:
-            min_win = (2 * self.delay + model.hop_length) / model.sample_rate
-            raise ValueError(
-                f"win_duration={win_duration}s is smaller than the model's "
-                f"receptive field; use win_duration > {min_win:.2f}s."
-            )
-        self.chunk_frames: Optional[int] = None  # set after first window
 
         # stream state: buffer holds padded-stream samples from absolute
         # index `start`; window w covers padded[w*hop : w*hop + window]
@@ -103,15 +106,13 @@ class StreamingEncoder:
             self.level if self.level is not None else 1.0,
         )
         codes = np.asarray(enc["codes"])[0]
+        assert codes.shape[-1] == self.chunk_frames, (
+            f"window geometry drift: expected {self.chunk_frames} frames, "
+            f"model produced {codes.shape[-1]}"
+        )
         counts = None
         if self.vbr:
-            n_q = self.proc.model.n_codebooks
-            mask = generate_mask_hard(
-                enc["imp_map"] * self.level * n_q, n_q
-            )
-            counts = np.asarray(jnp.sum(mask, axis=1))[0].astype(np.uint8)
-        if self.chunk_frames is None:
-            self.chunk_frames = codes.shape[-1]
+            counts = self.proc._mask_counts(enc, True, self.level)[0]
         return codes, counts
 
     def _drain_ready(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
@@ -165,11 +166,20 @@ class StreamingEncoder:
 class StreamingDecoder:
     """Incremental decoder: frame blocks in, hop-sized waveforms out."""
 
-    def __init__(self, proc: CodecProcessor, chunk_frames: Optional[int] = None):
-        """``chunk_frames`` is the encoder's frames-per-window (exposed as
-        ``StreamingEncoder.chunk_frames`` after its first chunk); when
-        omitted, the first ``push`` block is taken to be one chunk."""
+    def __init__(
+        self,
+        proc: CodecProcessor,
+        win_duration: float = 1.0,
+        chunk_frames: Optional[int] = None,
+    ):
+        """``win_duration`` must match the encoder's (the chunk size —
+        frames per encoder window — is derived from it via
+        ``CodecProcessor.window_geometry``); pass ``chunk_frames``
+        explicitly only to override that derivation (it is also exposed
+        as ``StreamingEncoder.chunk_frames``)."""
         self.proc = proc
+        if chunk_frames is None:
+            _, _, chunk_frames, _ = proc.window_geometry(win_duration)
         self.chunk_frames = chunk_frames
         self._codes: Optional[np.ndarray] = None     # (Nq, F) pending
         self._counts: Optional[np.ndarray] = None    # (F,) pending (VBR)
@@ -210,9 +220,6 @@ class StreamingDecoder:
                     counts if self._counts is None
                     else np.concatenate([self._counts, counts], axis=-1)
                 )
-        if self.chunk_frames is None:
-            # default: treat the first push as one encoder chunk
-            self.chunk_frames = codes.shape[-1]
         cf = self.chunk_frames
         out = []
         while self._codes.shape[-1] >= cf:
@@ -224,14 +231,19 @@ class StreamingDecoder:
         return out
 
     def flush(self) -> List[np.ndarray]:
-        """Decode any trailing partial chunk (zero-padded like
-        ``decompress``; the decoded tail is trimmed to the frames' span)."""
+        """Decode any trailing partial chunk, zero-padded to a whole chunk
+        exactly like ``decompress`` — the full hop-length segment is
+        returned (``decompress`` likewise decodes the padded chunk whole
+        and trims the final signal to ``original_length``; trim the
+        concatenated stream to the real stream length on the caller
+        side). Our own encoder always emits whole chunks, so this only
+        fires for externally-truncated code streams."""
         if self._flushed:
             return []
         self._flushed = True
         if self._codes is None or self._codes.shape[-1] == 0:
             return []
-        cf = self.chunk_frames or self._codes.shape[-1]
+        cf = self.chunk_frames
         frames = self._codes.shape[-1]
         c = np.pad(self._codes, ((0, 0), (0, cf - frames))) if frames < cf else self._codes
         cnt = None
