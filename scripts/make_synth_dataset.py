@@ -68,7 +68,9 @@ def main() -> None:
         out = Path(args.out) / split
         out.mkdir(parents=True, exist_ok=True)
         for i in range(count):
-            rng = np.random.RandomState(args.seed * 1_000_003 + si * 99991 + i)
+            rng = np.random.RandomState(
+                (args.seed * 1_000_003 + si * 99991 + i) % 2**32
+            )
             clip = synth_clip(rng, args.sample_rate, args.duration)
             write_wav(out / f"{split}_{i:04d}.wav", clip[None, :],
                       args.sample_rate)

@@ -175,6 +175,9 @@ class Compose(BaseTransform):
         return blended
 
 
+_warned_no_cpu = False
+
+
 def apply_on_host(transform: "BaseTransform", signal, all_args: Dict):
     """Apply a transform chain on the host CPU backend; return numpy audio.
 
@@ -194,6 +197,16 @@ def apply_on_host(transform: "BaseTransform", signal, all_args: Dict):
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
+        global _warned_no_cpu
+        if not _warned_no_cpu:
+            _warned_no_cpu = True
+            import warnings
+
+            warnings.warn(
+                "apply_on_host: no CPU backend registered (JAX_PLATFORMS "
+                "excludes 'cpu'); transforms fall back to eager dispatch "
+                "on the default device — expect per-op dispatch overhead."
+            )
     ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     with ctx:
         out = transform(signal, **all_args)

@@ -21,7 +21,6 @@ mesh axis and params replicated; XLA inserts the gradient psums over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -30,6 +29,74 @@ import optax
 
 from ..losses.gan import discriminator_loss, generator_loss
 from .state import TrainState
+
+
+def _make_gen_forward(generator, remat: bool):
+    """Train-mode generator forward with explicit level/dropout rngs;
+    ``remat`` wraps it in jax.checkpoint. Shared by every step factory."""
+
+    def gen_forward(gen_params, audio, rng):
+        rng_vbr, rng_drop = jax.random.split(rng)
+
+        def apply(p, a):
+            return generator.apply(
+                p, a, train=True,
+                rngs={"vbr": rng_vbr, "vbr_dropout": rng_drop},
+            )
+
+        if remat:
+            apply = jax.checkpoint(apply)
+        return apply(gen_params, audio)
+
+    return gen_forward
+
+
+def _make_g_loss(gen_forward, discriminator, lambdas,
+                 stft_loss, mel_loss, waveform_loss):
+    """The generator loss body (reference scripts/train.py:300-330),
+    shared verbatim by the fused, split, and accumulated step factories so
+    a reweighted or added loss term cannot silently diverge between them.
+
+    Returns ``g_loss(gen_params, disc_params, audio, rng) ->
+    (total, losses)`` for use under ``jax.value_and_grad(has_aux=True)``.
+    """
+
+    def g_loss(gen_params, disc_params, audio, rng):
+        g_out = gen_forward(gen_params, audio, rng)
+        g_recons = g_out["audio"]
+        losses: Dict[str, jnp.ndarray] = {}
+        losses["stft/loss"] = stft_loss(g_recons, audio)
+        losses["mel/loss"] = mel_loss(g_recons, audio)
+        losses["waveform/loss"] = waveform_loss(g_recons, audio)
+        f_fake = discriminator.apply(disc_params, g_recons)
+        f_real = discriminator.apply(disc_params, audio)
+        adv_g, adv_feat = generator_loss(f_fake, f_real)
+        losses["adv/gen_loss"] = adv_g
+        losses["adv/feat_loss"] = adv_feat
+        losses["vq/commitment_loss"] = g_out["vq/commitment_loss"]
+        losses["vq/codebook_loss"] = g_out["vq/codebook_loss"]
+        if g_out["imp_map"] is not None:
+            losses["vq/rate_loss"] = jnp.mean(g_out["imp_map"])
+        total = sum(
+            weight * losses[key]
+            for key, weight in lambdas.items()
+            if key in losses
+        )
+        losses["loss"] = total
+        return total, losses
+
+    return g_loss
+
+
+def _make_d_loss(discriminator):
+    """LSGAN discriminator loss on (already stop-gradiented) recons."""
+
+    def d_loss(disc_params, recons, audio):
+        f_fake = discriminator.apply(disc_params, recons)
+        f_real = discriminator.apply(disc_params, audio)
+        return discriminator_loss(f_fake, f_real)
+
+    return d_loss
 
 
 def make_train_step(
@@ -51,18 +118,10 @@ def make_train_step(
     train batches fit in HBM.
     """
 
-    def gen_forward(gen_params, audio, rng):
-        rng_vbr, rng_drop = jax.random.split(rng)
-
-        def apply(p, a):
-            return generator.apply(
-                p, a, train=True,
-                rngs={"vbr": rng_vbr, "vbr_dropout": rng_drop},
-            )
-
-        if remat:
-            apply = jax.checkpoint(apply)
-        return apply(gen_params, audio)
+    gen_forward = _make_gen_forward(generator, remat)
+    g_loss = _make_g_loss(gen_forward, discriminator, lambdas,
+                          stft_loss, mel_loss, waveform_loss)
+    d_loss_of = _make_d_loss(discriminator)
 
     def train_step(state: TrainState, audio: jnp.ndarray, rng: jax.Array):
         """audio: (B, 1, T) already transformed. Returns (state, metrics)."""
@@ -74,11 +133,9 @@ def make_train_step(
 
         # ---- 2. discriminator update (reference: train.py:287-297)
         def d_loss_fn(disc_params):
-            f_fake = discriminator.apply(
-                disc_params, jax.lax.stop_gradient(recons)
+            return d_loss_of(
+                disc_params, jax.lax.stop_gradient(recons), audio
             )
-            f_real = discriminator.apply(disc_params, audio)
-            return discriminator_loss(f_fake, f_real)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
         output["adv/disc_loss"] = d_loss
@@ -90,32 +147,8 @@ def make_train_step(
 
         # ---- 3+4. generator losses vs updated disc, then update
         # (reference: train.py:300-330)
-        def g_loss_fn(gen_params):
-            g_out = gen_forward(gen_params, audio, rng)
-            g_recons = g_out["audio"]
-            losses: Dict[str, jnp.ndarray] = {}
-            losses["stft/loss"] = stft_loss(g_recons, audio)
-            losses["mel/loss"] = mel_loss(g_recons, audio)
-            losses["waveform/loss"] = waveform_loss(g_recons, audio)
-            f_fake = discriminator.apply(new_disc_params, g_recons)
-            f_real = discriminator.apply(new_disc_params, audio)
-            adv_g, adv_feat = generator_loss(f_fake, f_real)
-            losses["adv/gen_loss"] = adv_g
-            losses["adv/feat_loss"] = adv_feat
-            losses["vq/commitment_loss"] = g_out["vq/commitment_loss"]
-            losses["vq/codebook_loss"] = g_out["vq/codebook_loss"]
-            if g_out["imp_map"] is not None:
-                losses["vq/rate_loss"] = jnp.mean(g_out["imp_map"])
-            total = sum(
-                weight * losses[key]
-                for key, weight in lambdas.items()
-                if key in losses
-            )
-            losses["loss"] = total
-            return total, losses
-
         (g_total, g_losses), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
+            lambda p: g_loss(p, new_disc_params, audio, rng), has_aux=True
         )(state.gen_params)
         output.update(g_losses)
         output["other/grad_norm_g"] = optax.global_norm(g_grads)
@@ -160,29 +193,18 @@ def make_split_train_steps(
     Call with the SAME rng so both see the same level/dropout draws.
     """
 
-    def gen_forward(gen_params, audio, rng):
-        rng_vbr, rng_drop = jax.random.split(rng)
-
-        def apply(p, a):
-            return generator.apply(
-                p, a, train=True,
-                rngs={"vbr": rng_vbr, "vbr_dropout": rng_drop},
-            )
-
-        if remat:
-            apply = jax.checkpoint(apply)
-        return apply(gen_params, audio)
+    gen_forward = _make_gen_forward(generator, remat)
+    g_loss = _make_g_loss(gen_forward, discriminator, lambdas,
+                          stft_loss, mel_loss, waveform_loss)
+    d_loss_of = _make_d_loss(discriminator)
 
     def d_step(state: TrainState, audio, rng):
         out = gen_forward(state.gen_params, audio, rng)
         recons = jax.lax.stop_gradient(out["audio"])
 
-        def d_loss_fn(disc_params):
-            f_fake = discriminator.apply(disc_params, recons)
-            f_real = discriminator.apply(disc_params, audio)
-            return discriminator_loss(f_fake, f_real)
-
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_loss, d_grads = jax.value_and_grad(
+            lambda dp: d_loss_of(dp, recons, audio)
+        )(state.disc_params)
         d_updates, new_opt_d = opt_d.update(
             d_grads, state.opt_d, state.disc_params
         )
@@ -194,32 +216,9 @@ def make_split_train_steps(
         return state.replace(disc_params=new_disc_params, opt_d=new_opt_d), metrics
 
     def g_step(state: TrainState, audio, rng):
-        def g_loss_fn(gen_params):
-            g_out = gen_forward(gen_params, audio, rng)
-            g_recons = g_out["audio"]
-            losses: Dict[str, jnp.ndarray] = {}
-            losses["stft/loss"] = stft_loss(g_recons, audio)
-            losses["mel/loss"] = mel_loss(g_recons, audio)
-            losses["waveform/loss"] = waveform_loss(g_recons, audio)
-            f_fake = discriminator.apply(state.disc_params, g_recons)
-            f_real = discriminator.apply(state.disc_params, audio)
-            adv_g, adv_feat = generator_loss(f_fake, f_real)
-            losses["adv/gen_loss"] = adv_g
-            losses["adv/feat_loss"] = adv_feat
-            losses["vq/commitment_loss"] = g_out["vq/commitment_loss"]
-            losses["vq/codebook_loss"] = g_out["vq/codebook_loss"]
-            if g_out["imp_map"] is not None:
-                losses["vq/rate_loss"] = jnp.mean(g_out["imp_map"])
-            total = sum(
-                weight * losses[key]
-                for key, weight in lambdas.items()
-                if key in losses
-            )
-            losses["loss"] = total
-            return total, losses
-
         (_, g_losses), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
+            lambda p: g_loss(p, state.disc_params, audio, rng),
+            has_aux=True,
         )(state.gen_params)
         g_updates, new_opt_g = opt_g.update(
             g_grads, state.opt_g, state.gen_params
@@ -276,18 +275,10 @@ def make_accum_train_step(
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
-    def gen_forward(gen_params, audio, rng):
-        rng_vbr, rng_drop = jax.random.split(rng)
-
-        def apply(p, a):
-            return generator.apply(
-                p, a, train=True,
-                rngs={"vbr": rng_vbr, "vbr_dropout": rng_drop},
-            )
-
-        if remat:
-            apply = jax.checkpoint(apply)
-        return apply(gen_params, audio)
+    gen_forward = _make_gen_forward(generator, remat)
+    g_loss = _make_g_loss(gen_forward, discriminator, lambdas,
+                          stft_loss, mel_loss, waveform_loss)
+    d_loss_of = _make_d_loss(discriminator)
 
     def _micro_split(audio, rng):
         b = audio.shape[0]
@@ -306,13 +297,9 @@ def make_accum_train_step(
             audio_i, rng_i = xs
             out = gen_forward(gen_params, audio_i, rng_i)
             recons = jax.lax.stop_gradient(out["audio"])
-
-            def d_loss_fn(dp):
-                f_fake = discriminator.apply(dp, recons)
-                f_real = discriminator.apply(dp, audio_i)
-                return discriminator_loss(f_fake, f_real)
-
-            loss, grads = jax.value_and_grad(d_loss_fn)(disc_params)
+            loss, grads = jax.value_and_grad(
+                lambda dp: d_loss_of(dp, recons, audio_i)
+            )(disc_params)
             return jax.tree_util.tree_map(jnp.add, acc, grads), loss
 
         zeros = jax.tree_util.tree_map(jnp.zeros_like, disc_params)
@@ -325,33 +312,9 @@ def make_accum_train_step(
 
         def body(acc, xs):
             audio_i, rng_i = xs
-
-            def g_loss_fn(p):
-                g_out = gen_forward(p, audio_i, rng_i)
-                g_recons = g_out["audio"]
-                losses: Dict[str, jnp.ndarray] = {}
-                losses["stft/loss"] = stft_loss(g_recons, audio_i)
-                losses["mel/loss"] = mel_loss(g_recons, audio_i)
-                losses["waveform/loss"] = waveform_loss(g_recons, audio_i)
-                f_fake = discriminator.apply(disc_params, g_recons)
-                f_real = discriminator.apply(disc_params, audio_i)
-                adv_g, adv_feat = generator_loss(f_fake, f_real)
-                losses["adv/gen_loss"] = adv_g
-                losses["adv/feat_loss"] = adv_feat
-                losses["vq/commitment_loss"] = g_out["vq/commitment_loss"]
-                losses["vq/codebook_loss"] = g_out["vq/codebook_loss"]
-                if g_out["imp_map"] is not None:
-                    losses["vq/rate_loss"] = jnp.mean(g_out["imp_map"])
-                total = sum(
-                    weight * losses[key]
-                    for key, weight in lambdas.items()
-                    if key in losses
-                )
-                losses["loss"] = total
-                return total, losses
-
             (_, losses), grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
+                lambda p: g_loss(p, disc_params, audio_i, rng_i),
+                has_aux=True,
             )(gen_params)
             return jax.tree_util.tree_map(jnp.add, acc, grads), losses
 

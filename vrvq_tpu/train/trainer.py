@@ -144,44 +144,32 @@ def load(
     lambdas = cfg.get("lambdas", {})
     remat = bool(cfg.get("remat", False))
     accum = int(cfg.get("grad_accum_steps", 1))
+    split = bool(cfg.get("split_train_step", False))
     loss_args = (lambdas, stft_loss, mel_loss, waveform_loss)
     if accum > 1:
         # effective batch = batch_size, HBM footprint = batch_size / accum
         # (the reference's batch-64 regime on one chip; loop.py docstring)
         from .loop import make_accum_train_step
 
-        if cfg.get("split_train_step", False):
-            d_step, g_step = make_accum_train_step(
-                generator, discriminator, opt_g, opt_d, *loss_args,
-                accum_steps=accum, remat=remat, split=True,
-            )
-            d_jit = jax.jit(d_step, donate_argnums=(0,))
-            g_jit = jax.jit(g_step, donate_argnums=(0,))
-
-            def train_step(state, audio, rng):
-                state, m_d = d_jit(state, audio, rng)
-                state, m_g = g_jit(state, audio, rng)
-                m_g.update(m_d)
-                return state, m_g
-        else:
-            train_step = jax.jit(
-                make_accum_train_step(
-                    generator, discriminator, opt_g, opt_d, *loss_args,
-                    accum_steps=accum, remat=remat,
-                ),
-                donate_argnums=(0,),
-            )
-    elif cfg.get("split_train_step", False):
+        steps = make_accum_train_step(
+            generator, discriminator, opt_g, opt_d, *loss_args,
+            accum_steps=accum, remat=remat, split=split,
+        )
+    elif split:
         # two jit programs (disc, gen): halves peak compile memory for the
         # full-size model at the cost of one extra generator forward
         from .loop import make_split_train_steps
 
-        d_step, g_step = make_split_train_steps(
-            generator, discriminator, opt_g, opt_d, lambdas,
-            stft_loss, mel_loss, waveform_loss, remat=remat,
+        steps = make_split_train_steps(
+            generator, discriminator, opt_g, opt_d, *loss_args, remat=remat,
         )
-        d_jit = jax.jit(d_step, donate_argnums=(0,))
-        g_jit = jax.jit(g_step, donate_argnums=(0,))
+    else:
+        steps = make_train_step(
+            generator, discriminator, opt_g, opt_d, *loss_args, remat=remat,
+        )
+    if split:
+        d_jit = jax.jit(steps[0], donate_argnums=(0,))
+        g_jit = jax.jit(steps[1], donate_argnums=(0,))
 
         def train_step(state, audio, rng):
             state, m_d = d_jit(state, audio, rng)
@@ -189,11 +177,7 @@ def load(
             m_g.update(m_d)
             return state, m_g
     else:
-        fused = make_train_step(
-            generator, discriminator, opt_g, opt_d, lambdas,
-            stft_loss, mel_loss, waveform_loss, remat=remat,
-        )
-        train_step = jax.jit(fused, donate_argnums=(0,))
+        train_step = jax.jit(steps, donate_argnums=(0,))
     val_step = make_val_step(generator, stft_loss, mel_loss, waveform_loss)
 
     hop = generator.hop_length
@@ -255,15 +239,20 @@ def load(
     )
 
 
-def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
-    """Apply the train transform to a collated batch -> (B, 1, T) array
-    (reference: scripts/train.py:272-277, transform under no_grad)."""
+def _apply_transform(state: State, dataset, batch: Dict):
+    """The trainer-side transform application: host CPU backend by
+    default, device-side when ``transforms_on_host: false``."""
     signal = batch["signal"]
     args = batch.get("transform_args", {})
     if state.transforms_on_host:
-        transformed = apply_on_host(state.train_data.transform, signal, args)
-    else:
-        transformed = state.train_data.transform(signal, **args)
+        return apply_on_host(dataset.transform, signal, args)
+    return dataset.transform(signal, **args)
+
+
+def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
+    """Apply the train transform to a collated batch -> (B, 1, T) array
+    (reference: scripts/train.py:272-277, transform under no_grad)."""
+    transformed = _apply_transform(state, state.train_data, batch)
     # NOTE: the clip is fed at its native length — the model pads to a hop
     # multiple in-graph and trims the recon back, so the losses compare the
     # true clip exactly like the reference. Pre-padding here would leak the
@@ -291,12 +280,7 @@ def validate(state: State, batch_size: int,
     for start in range(0, n, batch_size):
         items = [state.val_data[i] for i in range(start, min(start + batch_size, n))]
         batch = state.val_data.collate(items)
-        signal = batch["signal"]
-        args = batch.get("transform_args", {})
-        if state.transforms_on_host:
-            transformed = apply_on_host(state.val_data.transform, signal, args)
-        else:
-            transformed = state.val_data.transform(signal, **args)
+        transformed = _apply_transform(state, state.val_data, batch)
         audio = jnp.asarray(
             transformed.audio_data if isinstance(transformed, Signal)
             else transformed
