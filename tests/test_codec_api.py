@@ -117,3 +117,35 @@ def test_compress_window_too_small_raises(proc, tone):
     empty stream."""
     with pytest.raises(ValueError, match="win_duration"):
         proc.compress(tone, win_duration=0.3, n_quantizers=2)
+
+
+def test_fused_quantizer_encode_parity(proc, tone):
+    """The fused-Pallas-RVQ serving encode must produce codes and VBR
+    counts identical to the module-quantizer path through the public
+    compress API (padded one-shot AND padding-free chunked), VBR + CBR."""
+    fused = CodecProcessor(proc.model, proc.params, fused_quantizer=True)
+    for kw in (
+        dict(win_duration=0.5, level=1.0),           # chunked VBR
+        dict(win_duration=None, level=1.0),          # one-shot VBR
+        dict(win_duration=0.5, n_quantizers=3),      # chunked CBR
+    ):
+        a = proc.compress(tone, normalize_db=-16, **kw)
+        b = fused.compress(tone, normalize_db=-16, **kw)
+        np.testing.assert_array_equal(a.codes, b.codes)
+        if a.vbr_counts is None:
+            assert b.vbr_counts is None
+        else:
+            np.testing.assert_array_equal(a.vbr_counts, b.vbr_counts)
+
+
+def test_fused_quantizer_rejects_moe():
+    from vrvq_tpu.models import DAC_MOE
+
+    m = DAC_MOE(encoder_dim=8, decoder_dim=64, n_codebooks=4,
+                codebook_size=32, codebook_dim=4, model_type="VBR",
+                level_min=1.0, level_max=1.0)
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, jnp.zeros((1, 1, 4096)), level=1.0)
+    with pytest.raises(ValueError, match="DAC_VRVQ"):
+        CodecProcessor(m, params, fused_quantizer=True)

@@ -38,9 +38,17 @@ GAIN_FACTOR = np.log(10) / 20
 
 
 class CodecProcessor:
-    """Host-side orchestrator around the padded + padding-free codecs."""
+    """Host-side orchestrator around the padded + padding-free codecs.
 
-    def __init__(self, model, params):
+    ``fused_quantizer=True`` routes the serving encode through the fused
+    Pallas RVQ kernel (ops/rvq_kernel.py: the whole Nq-stage residual loop
+    in one VMEM-resident pass) instead of the module quantizer's per-stage
+    ops. Codes are identical (tested); the fused encode returns only what
+    the serving path consumes ({codes, imp_map}), not the training-time
+    extras (z_q_is, losses, latents).
+    """
+
+    def __init__(self, model, params, fused_quantizer: bool = False):
         self.model = model
         self.model_nopad = model.clone(padding=False)
         self.params = params
@@ -77,6 +85,51 @@ class CodecProcessor:
                 self.params, c, m, method=type(model).decode_from_codes
             )
         )
+        if fused_quantizer:
+            if type(model).__name__ != "DAC_VRVQ":
+                raise ValueError(
+                    "fused_quantizer supports DAC_VRVQ only (the DAC_MOE "
+                    "router quantizer has a different importance path)"
+                )
+            self._encode_pad = self._make_fused_encode(self.model)
+            self._encode_nopad = self._make_fused_encode(self.model_nopad)
+
+    def _make_fused_encode(self, variant):
+        """Serving encode through the fused Pallas RVQ kernel: encoder
+        convs + (VBR) importance subnet exactly as the module path, then
+        the whole residual-quantize loop in one kernel. Returns the
+        reduced dict {codes, imp_map} the compress/streaming paths use."""
+        from ..ops.rvq_kernel import quantize_fused
+
+        vbr = variant.model_type == "VBR"
+
+        def encode(a, nq, lv):
+            x = a.transpose(0, 2, 1)
+            z, feat = variant.apply(
+                self.params, x,
+                method=lambda m, xx: m.encoder(xx, return_feat=True),
+            )
+            imp_map = None
+            if vbr:
+                # imp subnet + the padless center-crop, mirroring
+                # VBRResidualVectorQuantize.__call__ (models/quantize.py)
+                imp_map = variant.apply(
+                    self.params, feat,
+                    method=lambda m, f: m.quantizer.imp_subnet(f),
+                ).transpose(0, 2, 1)
+                extra = imp_map.shape[-1] - z.shape[1]
+                if extra > 0:
+                    lo = extra // 2
+                    imp_map = imp_map[..., lo:lo + z.shape[1]]
+            interpret = jax.devices()[0].platform != "tpu"
+            _, codes = quantize_fused(
+                variant, self.params, z, interpret=interpret
+            )
+            if nq is not None:
+                codes = codes[:, :nq]  # CBR: stages beyond nq are unused
+            return {"codes": codes, "imp_map": imp_map}
+
+        return jax.jit(encode, static_argnums=(1,))
 
     # ---------------------------------------------------------- geometry
     def window_geometry(self, win_duration: float):
