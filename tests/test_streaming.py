@@ -1,6 +1,9 @@
 """Push-style streaming encoder/decoder: bit-parity with the file-oriented
 compress/decompress path, arbitrary block sizes, latency accounting."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -169,3 +172,37 @@ def test_streaming_errors(proc):
     enc.flush()
     with pytest.raises(RuntimeError):
         enc.push(np.zeros(10, np.float32))
+
+
+def test_stream_demo_cli(tmp_path):
+    """The serving demo CLI runs end-to-end on a tiny model (random
+    params, no checkpoint) and writes a reconstruction wav."""
+    import subprocess
+    import sys as _sys
+
+    from vrvq_tpu.data.audio_io import write_wav
+
+    t = np.arange(int(1.6 * 44100)) / 44100
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav = tmp_path / "in.wav"
+    write_wav(wav, x, 44100)
+    yml = tmp_path / "tiny.yml"
+    yml.write_text("\n".join(
+        f"DAC_VRVQ.{k}: {list(v) if isinstance(v, tuple) else v}"
+        for k, v in TINY.items()
+    ))
+    out = tmp_path / "out.wav"
+    r = subprocess.run(
+        [_sys.executable, "scripts/stream_demo.py",
+         "--args.load", str(yml), "--input", str(wav),
+         "--output", str(out), "--win_duration", "0.7",
+         "--level", "1.0", "--block_ms", "50"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).resolve().parents[1],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "x realtime" in r.stdout and "kbps" in r.stdout
+    assert out.exists()
+    got = Signal.load(out)
+    assert got.audio_data.shape[-1] == len(x)
