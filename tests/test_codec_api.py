@@ -149,3 +149,20 @@ def test_fused_quantizer_rejects_moe():
     params = m.init(rngs, jnp.zeros((1, 1, 4096)), level=1.0)
     with pytest.raises(ValueError, match="DAC_VRVQ"):
         CodecProcessor(m, params, fused_quantizer=True)
+
+
+def test_fused_quantizer_cbr_model(tone):
+    """fused_quantizer also covers a genuinely-CBR DAC_VRVQ (the plain
+    ResidualVectorQuantize param tree, no importance subnet)."""
+    kw = dict(TINY, model_type="CBR")
+    kw.pop("level_min"), kw.pop("level_max")
+    m = DAC_VRVQ(**kw)
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, jnp.zeros((1, 1, 4096)))
+    a = CodecProcessor(m, params).compress(
+        tone, win_duration=0.5, normalize_db=None, n_quantizers=4)
+    b = CodecProcessor(m, params, fused_quantizer=True).compress(
+        tone, win_duration=0.5, normalize_db=None, n_quantizers=4)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert a.vbr_counts is None and b.vbr_counts is None
