@@ -32,40 +32,7 @@ enable_compilation_cache()
 def inference(cfg):
     model = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
 
-    ckpt_path = cfg.get("ckpt_path")
-    ckpt_dir = cfg.get("ckpt_dir")
-    tag = cfg.get("tag", "latest")
-    torch_ckpt = cfg.get("torch_ckpt")
-
-    if torch_ckpt:
-        params = ckpt.load_torch_checkpoint(
-            torch_ckpt, model.n_codebooks, model.model_type
-        )
-    else:
-        import jax
-        import jax.numpy as jnp
-
-        sample = jnp.zeros((1, 1, 512))
-        rngs = {
-            "params": jax.random.PRNGKey(0),
-            "vbr": jax.random.PRNGKey(1),
-            "vbr_dropout": jax.random.PRNGKey(2),
-        }
-        params = model.init(rngs, sample, level=1.0)
-        if ckpt_dir or ckpt_path:
-            # rebuild the abstract TrainState (same optimizer chain as the
-            # trainer) and restore the tagged orbax checkpoint
-            from vrvq_tpu.models import Discriminator
-            from vrvq_tpu.train.loop import init_train_state
-            from vrvq_tpu.train.state import make_optimizer
-
-            disc = Discriminator(**cfg.kwargs("Discriminator"))
-            opt_g = make_optimizer(max_grad_norm=1e3)
-            opt_d = make_optimizer(max_grad_norm=10.0)
-            abstract = init_train_state(model, disc, opt_g, opt_d, sample)
-            base = ckpt_path or ckpt_dir
-            restored = ckpt.load_checkpoint(base, abstract, tag)
-            params = restored.gen_params
+    params = ckpt.load_gen_params(cfg, model)
 
     if cfg.get("fast", True):
         # fold weight norm + bf16 decode: codes stay bit-exact (f32 encode);

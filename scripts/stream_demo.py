@@ -33,49 +33,15 @@ from vrvq_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def _load_params(cfg, model):
-    """Checkpoint restore, same recipe as scripts/inference.py."""
-    import jax.numpy as jnp
-
-    from vrvq_tpu.train import checkpoint as ckpt
-
-    torch_ckpt = cfg.get("torch_ckpt")
-    if torch_ckpt:
-        return ckpt.load_torch_checkpoint(
-            torch_ckpt, model.n_codebooks, model.model_type
-        )
-    rngs = {
-        "params": jax.random.PRNGKey(0),
-        "vbr": jax.random.PRNGKey(1),
-        "vbr_dropout": jax.random.PRNGKey(2),
-    }
-    sample = jnp.zeros((1, 1, 512))
-    params = model.init(rngs, sample, level=1.0)
-    base = cfg.get("ckpt_path") or cfg.get("ckpt_dir")
-    if base:
-        from vrvq_tpu.models import Discriminator
-        from vrvq_tpu.train.loop import init_train_state
-        from vrvq_tpu.train.state import make_optimizer
-
-        disc = Discriminator(**cfg.kwargs("Discriminator"))
-        abstract = init_train_state(
-            model, disc, make_optimizer(max_grad_norm=1e3),
-            make_optimizer(max_grad_norm=10.0), sample,
-        )
-        params = ckpt.load_checkpoint(
-            base, abstract, cfg.get("tag", "latest")
-        ).gen_params
-    return params
-
-
 def stream(cfg):
     from vrvq_tpu.data.audio_io import read_audio, write_wav
     from vrvq_tpu.infer.codec_api import CodecProcessor
     from vrvq_tpu.infer.streaming import StreamingDecoder, StreamingEncoder
     from vrvq_tpu.models import DAC_VRVQ
+    from vrvq_tpu.train.checkpoint import load_gen_params
 
     model = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
-    params = _load_params(cfg, model)
+    params = load_gen_params(cfg, model)
     proc = CodecProcessor(
         model, params,
         fused_quantizer=bool(cfg.get("fused_quantizer", False)),
@@ -85,6 +51,8 @@ def stream(cfg):
     audio, in_sr = read_audio(cfg.get("input"))
     assert in_sr == sr, f"input must be {sr} Hz (got {in_sr})"
     x = np.asarray(audio, np.float32).reshape(-1)
+    if len(x) == 0:
+        raise ValueError(f"--input {cfg.get('input')} contains no audio")
 
     win = float(cfg.get("win_duration", 1.0))
     level = cfg.get("level", 1.0)
@@ -99,17 +67,22 @@ def stream(cfg):
           f"first-chunk latency={enc.samples_to_first_chunk / sr * 1000:.0f} ms")
 
     out, chunk_ms, bits = [], [], 0
-    t_start = time.perf_counter()
-    for i in range(0, len(x), block):
-        for codes, counts in enc.push(x[i: i + block]):
+    bits_per_code = int(np.ceil(np.log2(model.codebook_size)))
+
+    def consume(chunks):
+        nonlocal bits
+        for codes, counts in chunks:
             t0 = time.perf_counter()
-            out += dec.push(codes, counts)
+            out.extend(dec.push(codes, counts))
             chunk_ms.append((time.perf_counter() - t0) * 1000)
             kept = counts.sum() if counts is not None else codes.size
-            bits += int(kept) * int(np.ceil(np.log2(model.codebook_size)))
-    for codes, counts in enc.flush():
-        out += dec.push(codes, counts)
-    out += dec.flush()
+            bits += int(kept) * bits_per_code
+
+    t_start = time.perf_counter()
+    for i in range(0, len(x), block):
+        consume(enc.push(x[i: i + block]))
+    consume(enc.flush())
+    out.extend(dec.flush())
     wall = time.perf_counter() - t_start
 
     y = np.concatenate(out)[: len(x)]

@@ -110,7 +110,8 @@ class CodecProcessor:
                 method=lambda m, xx: m.encoder(xx, return_feat=True),
             )
             imp_map = None
-            if vbr:
+            # CBR requests (static nq) skip the subnet like the module path
+            if vbr and nq is None:
                 # imp subnet + the padless center-crop, mirroring
                 # VBRResidualVectorQuantize.__call__ (models/quantize.py)
                 imp_map = variant.apply(
@@ -221,7 +222,7 @@ class CodecProcessor:
             x = np.pad(data, ((0, 0), (0, 0), (0, right_pad)))
             enc = self._encode_pad(jnp.asarray(x), n_quantizers, lv)
             codes = np.asarray(enc["codes"])
-            counts = self._mask_counts(enc, vbr, lv) if vbr else None
+            counts = self._mask_counts(enc, lv) if vbr else None
             chunk_length = codes.shape[-1]
         else:
             # Chunked: padding-free codec, delay-padded ends
@@ -230,7 +231,6 @@ class CodecProcessor:
             data = np.pad(data, ((0, 0), (0, 0), (delay, delay)))
             codes_list = []
             counts_list = []
-            total = data.shape[-1]
             for i in range(0, nt, hop):
                 x = data[..., i: i + n_samples]
                 pad = n_samples - x.shape[-1]
@@ -239,8 +239,7 @@ class CodecProcessor:
                 enc = self._encode_nopad(jnp.asarray(x), n_quantizers, lv)
                 codes_list.append(np.asarray(enc["codes"]))
                 if vbr:
-                    counts_list.append(self._mask_counts(enc, vbr, lv))
-            del total
+                    counts_list.append(self._mask_counts(enc, lv))
             chunk_length = codes_list[0].shape[-1]
             codes = np.concatenate(codes_list, axis=-1)
             counts = np.concatenate(counts_list, axis=-1) if vbr else None
@@ -256,7 +255,7 @@ class CodecProcessor:
             vbr_counts=counts,
         )
 
-    def _mask_counts(self, enc, vbr: bool, level: float) -> np.ndarray:
+    def _mask_counts(self, enc, level: float) -> np.ndarray:
         """(B, T) per-frame codebook counts from the importance map
         (single jitted program — one device dispatch per window)."""
         return np.asarray(

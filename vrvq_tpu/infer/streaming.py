@@ -112,7 +112,7 @@ class StreamingEncoder:
         )
         counts = None
         if self.vbr:
-            counts = self.proc._mask_counts(enc, True, self.level)[0]
+            counts = self.proc._mask_counts(enc, self.level)[0]
         return codes, counts
 
     def _drain_ready(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
@@ -169,6 +169,7 @@ class StreamingDecoder:
     def __init__(
         self,
         proc: CodecProcessor,
+        *,
         win_duration: float = 1.0,
         chunk_frames: Optional[int] = None,
     ):
@@ -176,7 +177,8 @@ class StreamingDecoder:
         frames per encoder window — is derived from it via
         ``CodecProcessor.window_geometry``); pass ``chunk_frames``
         explicitly only to override that derivation (it is also exposed
-        as ``StreamingEncoder.chunk_frames``)."""
+        as ``StreamingEncoder.chunk_frames``). Keyword-only so a
+        mis-sized chunk cannot slip in positionally."""
         self.proc = proc
         if chunk_frames is None:
             _, _, chunk_frames, _ = proc.window_geometry(win_duration)

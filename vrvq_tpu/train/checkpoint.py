@@ -224,3 +224,40 @@ def load_torch_checkpoint(path, n_codebooks: Optional[int] = None,
     sd = ckpt.get("state_dict", ckpt)
     sd = {k: v.numpy() for k, v in sd.items()}
     return convert_torch_state_dict(sd, n_codebooks, model_type)
+
+
+def load_gen_params(cfg, model):
+    """Generator params for an inference CLI: torch checkpoint, tagged
+    orbax checkpoint (``ckpt_path``/``ckpt_dir`` + ``tag``), or fresh
+    random init. One shared recipe so scripts/inference.py and
+    scripts/stream_demo.py cannot drift (the abstract TrainState must use
+    the same optimizer chain the trainer built)."""
+    import jax.numpy as jnp
+
+    torch_ckpt = cfg.get("torch_ckpt")
+    if torch_ckpt:
+        return load_torch_checkpoint(
+            torch_ckpt, model.n_codebooks, model.model_type
+        )
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "vbr": jax.random.PRNGKey(1),
+        "vbr_dropout": jax.random.PRNGKey(2),
+    }
+    sample = jnp.zeros((1, 1, 512))
+    params = model.init(rngs, sample, level=1.0)
+    base = cfg.get("ckpt_path") or cfg.get("ckpt_dir")
+    if base:
+        from ..models import Discriminator
+        from .loop import init_train_state
+        from .state import make_optimizer
+
+        disc = Discriminator(**cfg.kwargs("Discriminator"))
+        abstract = init_train_state(
+            model, disc, make_optimizer(max_grad_norm=1e3),
+            make_optimizer(max_grad_norm=10.0), sample,
+        )
+        params = load_checkpoint(
+            base, abstract, cfg.get("tag", "latest")
+        ).gen_params
+    return params
