@@ -176,6 +176,35 @@ def bench_train_step(model, params):
     return dt * 1e3
 
 
+def bench_fused_encode(model, params):
+    """Serving-encode time, module quantizer vs fused Pallas RVQ kernel
+    (CodecProcessor fused_quantizer), batch 16 x 10 s VBR."""
+    from vrvq_tpu.infer.codec_api import CodecProcessor
+
+    batch, seconds = 16, 10.0
+    n = ((int(seconds * SAMPLE_RATE) + 511) // 512) * 512
+    rng = np.random.RandomState(3)
+    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+
+    module = CodecProcessor(model, params)
+    fused = CodecProcessor(model, params, fused_quantizer=True)
+
+    def run(proc):
+        enc = proc._encode_pad(audio, None, 1.0)
+        _sync(enc["codes"][0, 0, 0])
+
+    t_module = _timeit(lambda: run(module))
+    t_fused = _timeit(lambda: run(fused))
+    c_m = np.asarray(module._encode_pad(audio, None, 1.0)["codes"])
+    c_f = np.asarray(fused._encode_pad(audio, None, 1.0)["codes"])
+    assert (c_m == c_f).all(), "fused encode codes diverged from module path"
+    return {
+        "encode_module_ms": round(t_module * 1e3, 1),
+        "encode_fused_ms": round(t_fused * 1e3, 1),
+        "encode_fused_speedup": round(t_module / t_fused, 3),
+    }
+
+
 def _run_phase(phase: str, timeout_s: int = 1200):
     """Run an optional bench phase in a subprocess and parse its one-line
     JSON. Isolation matters: a flaky remote compile/runtime can wedge a
@@ -224,6 +253,8 @@ def main():
             print(json.dumps(
                 {"train_step_ms": round(bench_train_step(model, params), 1)}
             ))
+        elif phase == "fused":
+            print(json.dumps(bench_fused_encode(model, params)))
         else:
             raise SystemExit(f"unknown phase {phase}")
         return
@@ -243,6 +274,7 @@ def main():
         out["rtf_live_f32"] = round(rtf_live, 2)
     out.update(_run_phase("b32"))
     out.update(_run_phase("train"))
+    out.update(_run_phase("fused"))
     print(json.dumps(out))
 
 
