@@ -166,3 +166,19 @@ def test_fused_quantizer_cbr_model(tone):
         tone, win_duration=0.5, normalize_db=None, n_quantizers=4)
     np.testing.assert_array_equal(a.codes, b.codes)
     assert a.vbr_counts is None and b.vbr_counts is None
+
+
+def test_fused_quantizer_with_fast_model(proc, tone):
+    """The production serving combo: fused RVQ encode over the
+    fast-inference model (decoder fold + bf16 + polynomial snake). The
+    encoder/quantizer stay live in make_inference_model, so codes must
+    remain bit-identical to the module path."""
+    from vrvq_tpu.infer.fast import make_inference_model
+
+    fm, fp = make_inference_model(proc.model, proc.params)
+    a = CodecProcessor(fm, fp).compress(
+        tone, win_duration=0.5, normalize_db=None, level=1.0)
+    b = CodecProcessor(fm, fp, fused_quantizer=True).compress(
+        tone, win_duration=0.5, normalize_db=None, level=1.0)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.vbr_counts, b.vbr_counts)
