@@ -90,9 +90,15 @@ def _batch_iterator(
     start_idx: int = 0,
     num_workers: int = 4,
     prefetch: int = 2,
+    prepare: Optional[Callable[[Dict], Any]] = None,
 ) -> Iterator[Dict]:
     """Infinite prefetching batch iterator (deterministic by global idx —
-    the reference's resumable sampler equivalent)."""
+    the reference's resumable sampler equivalent).
+
+    ``prepare`` runs in the producer thread on each collated batch and its
+    result is stored under ``batch["prepared_audio"]`` — the trainer uses
+    it to apply the (host-side) transform chain OVERLAPPED with the device
+    step instead of serially in the train loop."""
     from concurrent.futures import ThreadPoolExecutor
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -103,7 +109,10 @@ def _batch_iterator(
         while True:
             indices = [(idx + i) % max(len(dataset), 1) for i in range(batch_size)]
             items = list(pool.map(dataset.__getitem__, indices))
-            q.put(dataset.collate(items))
+            batch = dataset.collate(items)
+            if prepare is not None:
+                batch["prepared_audio"] = prepare(batch)
+            q.put(batch)
             idx += batch_size
 
     thread = threading.Thread(target=producer, daemon=True)
@@ -251,8 +260,13 @@ def _apply_transform(state: State, dataset, batch: Dict):
 
 def _prepare_signal(state: State, batch: Dict) -> jnp.ndarray:
     """Apply the train transform to a collated batch -> (B, 1, T) array
-    (reference: scripts/train.py:272-277, transform under no_grad)."""
-    transformed = _apply_transform(state, state.train_data, batch)
+    (reference: scripts/train.py:272-277, transform under no_grad).
+    When the prefetch producer already applied it (host-side transforms,
+    ``prepared_audio``), just pick up the result."""
+    if "prepared_audio" in batch:
+        transformed = batch["prepared_audio"]
+    else:
+        transformed = _apply_transform(state, state.train_data, batch)
     # NOTE: the clip is fed at its native length — the model pads to a hop
     # multiple in-graph and trims the recon back, so the losses compare the
     # true clip exactly like the reference. Pre-padding here would leak the
@@ -359,9 +373,20 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
     val_idx = cfg.get("val_idx", [0, 1, 2, 3, 4, 5, 6, 7])
     num_workers = cfg.get("num_workers", 8)
 
+    prepare = None
+    if state.transforms_on_host:
+        # apply the (host-side) transform chain in the producer thread,
+        # overlapped with the device step
+        def prepare(batch):
+            t = _apply_transform(state, state.train_data, batch)
+            return np.asarray(
+                t.audio_data if isinstance(t, Signal) else t
+            )
+
     loader = _batch_iterator(
         state.train_data, batch_size,
         start_idx=tracker.step * batch_size, num_workers=num_workers,
+        prepare=prepare,
     )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
