@@ -109,3 +109,81 @@ def test_dacfile_vbr_size_scales_with_level(tmp_path):
     g = codec.DACFile.load(p_low)
     np.testing.assert_array_equal(g.codes[:, 0], codes.astype(np.int32)[:, 0])
     assert np.all(g.codes[:, 1:] == 0)
+
+
+def test_pack_bits_roundtrip_fuzz():
+    from vrvq_tpu.models.codec import pack_bits, unpack_bits
+
+    rng = np.random.RandomState(0)
+    for bits in (1, 4, 7, 10, 16):
+        for n in (0, 1, 7, 8, 1000):
+            vals = rng.randint(0, 1 << bits, size=n).astype(np.uint32)
+            packed = pack_bits(vals, bits)
+            assert packed.nbytes <= (n * bits + 7) // 8
+            out = unpack_bits(packed, bits, n)
+            np.testing.assert_array_equal(out, vals)
+    with pytest.raises(ValueError):
+        pack_bits(np.array([1 << 10]), 10)
+
+
+def test_dacfile_bitpacked_sizes(tmp_path):
+    """VBR files bit-pack codes (10 -> not 16 bits) and counts (4 bits);
+    compact CBR packs too; plain CBR stays reference-format uint16."""
+    from vrvq_tpu.models.codec import DACFile
+
+    rng = np.random.RandomState(1)
+    b, nq, t, k = 1, 8, 2000, 1024
+    codes = rng.randint(0, k, size=(b, nq, t)).astype(np.int32)
+    meta = dict(chunk_length=t, original_length=t * 512, input_db=-16.0,
+                channels=1, sample_rate=44100, padding=True)
+
+    plain = DACFile(codes=codes, **meta)
+    p_plain = plain.save(tmp_path / "plain.dac")
+    p_compact = plain.save(tmp_path / "compact.dac", compact=True,
+                           codebook_size=k)
+    g = DACFile.load(p_compact)
+    np.testing.assert_array_equal(g.codes, codes)
+    sz_plain, sz_compact = p_plain.stat().st_size, p_compact.stat().st_size
+    # 16 -> 10 bits/code = 37.5% smaller (plus fixed metadata)
+    assert sz_compact < 0.67 * sz_plain
+
+    counts = rng.randint(1, nq + 1, size=(b, t)).astype(np.uint8)
+    vbr = DACFile(codes=codes, vbr_counts=counts, **meta)
+    p_vbr = vbr.save(tmp_path / "vbr.dac", codebook_size=k)
+    h = DACFile.load(p_vbr)
+    np.testing.assert_array_equal(h.vbr_counts, counts)
+    # masked-off positions load as 0; kept positions match
+    stage = np.arange(nq).reshape(1, nq, 1)
+    mask = stage < counts[:, None, :]
+    np.testing.assert_array_equal(h.codes[mask], codes[mask])
+    assert (h.codes[~mask] == 0).all()
+    # expected ~ kept*10 bits + t*4 bits
+    kept_bits = int(mask.sum()) * 10 + t * 4
+    assert p_vbr.stat().st_size < kept_bits / 8 + 2000
+
+
+def test_dacfile_legacy_vbr_format_loads(tmp_path):
+    """Files written by the earlier (unpacked-bits) VBR format still load."""
+    from vrvq_tpu.models.codec import DACFile, pack_vbr_codes
+
+    rng = np.random.RandomState(2)
+    codes = rng.randint(0, 64, size=(1, 4, 100)).astype(np.int32)
+    counts = rng.randint(1, 5, size=(1, 100)).astype(np.uint8)
+    artifacts = {
+        "codes_packed": pack_vbr_codes(codes, counts),
+        "vbr_counts": counts,
+        "n_codebooks": 4,
+        "metadata": {
+            "input_db": np.float32(-16.0), "original_length": 51200,
+            "sample_rate": 44100, "chunk_length": 100, "channels": 1,
+            "padding": True, "dac_version": "1.0.0",
+        },
+    }
+    p = tmp_path / "legacy.dac"
+    with open(p, "wb") as f:
+        np.save(f, artifacts)
+    g = DACFile.load(p)
+    np.testing.assert_array_equal(g.vbr_counts, counts)
+    stage = np.arange(4).reshape(1, 4, 1)
+    mask = stage < counts[:, None, :]
+    np.testing.assert_array_equal(g.codes[mask], codes[mask])

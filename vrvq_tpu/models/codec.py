@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -194,16 +194,50 @@ def unpack_vbr_codes(packed: np.ndarray, counts: np.ndarray,
     return out.transpose(0, 2, 1)
 
 
+def pack_bits(values: np.ndarray, bits: int) -> np.ndarray:
+    """Pack flat non-negative ints < 2**bits into bytes, LSB-first.
+
+    Codes carry ceil(log2(codebook_size)) bits of information (10 for the
+    flagship's 1024 entries) but uint16 storage spends 16 — bit-packing is
+    a free 37.5% file-size cut the reference leaves on the table (it
+    np.saves uint16, models/dac_base.py:29).
+    """
+    values = np.asarray(values).reshape(-1).astype(np.uint32)
+    if values.size and int(values.max()) >= (1 << bits):
+        raise ValueError(f"value {values.max()} does not fit in {bits} bits")
+    idx = np.arange(bits, dtype=np.uint32)
+    bitmat = ((values[:, None] >> idx[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bitmat.reshape(-1), bitorder="little")
+
+
+def unpack_bits(data: np.ndarray, bits: int, count: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` -> (count,) uint32."""
+    flat = np.unpackbits(
+        np.asarray(data, np.uint8), bitorder="little"
+    )[: count * bits]
+    bitmat = flat.reshape(count, bits).astype(np.uint32)
+    weights = (np.uint32(1) << np.arange(bits, dtype=np.uint32))
+    return (bitmat * weights[None, :]).sum(axis=1, dtype=np.uint32)
+
+
+def _code_bits(codes_max_plus1: int) -> int:
+    return max(1, int(math.ceil(math.log2(max(2, codes_max_plus1)))))
+
+
 @dataclass
 class DACFile:
-    """The ``.dac`` bitstream: uint16 codes + metadata via np.save.
+    """The ``.dac`` bitstream: codes + metadata via np.save.
 
     File-format compatible with the reference (models/dac_base.py:19-58) so
     CBR bitstreams round-trip between frameworks. VBR extension: when a
     per-frame codebook-count array (``vbr_counts``) is present, only the
     kept stage codes are stored (``pack_vbr_codes``), so the file size is
     genuinely variable-bitrate (the reference left VBR compression
-    unimplemented, models/dac_base.py:161).
+    unimplemented, models/dac_base.py:161) — and they are bit-packed to
+    ceil(log2(codebook_size)) bits (``pack_bits``), with the counts
+    sidecar packed to ceil(log2(Nq+1)) bits. CBR saves stay plain uint16
+    by default for reference interop; pass ``compact=True`` (and the
+    codebook size) to bit-pack those too.
     """
 
     codes: np.ndarray  # (B, Nq, T) int
@@ -217,7 +251,12 @@ class DACFile:
     dac_version: str = SUPPORTED_VERSIONS[-1]
     vbr_counts: Union[np.ndarray, None] = None  # (B, T) uint8, codebooks/frame
 
-    def save(self, path) -> Path:
+    def save(self, path, compact: bool = False,
+             codebook_size: Optional[int] = None) -> Path:
+        """``compact`` bit-packs a CBR stream too (non-reference format);
+        ``codebook_size`` sets the code width, defaulting to the smallest
+        width that fits the stream's max index (exact when every codebook
+        entry is used at least once; pass it explicitly to be safe)."""
         metadata = {
             "input_db": np.float32(self.input_db),
             "original_length": self.original_length,
@@ -227,17 +266,37 @@ class DACFile:
             "padding": self.padding,
             "dac_version": self.dac_version,
         }
+        codes = np.asarray(self.codes)
+        bits = _code_bits(
+            codebook_size if codebook_size is not None
+            else int(codes.max()) + 1 if codes.size else 2
+        )
         if self.vbr_counts is not None:
             counts = np.asarray(self.vbr_counts).astype(np.uint8)
+            nq = int(codes.shape[1])
+            kept = pack_vbr_codes(codes, counts)
+            cbits = _code_bits(nq + 1)
             artifacts = {
-                "codes_packed": pack_vbr_codes(self.codes, counts),
-                "vbr_counts": counts,
-                "n_codebooks": int(np.asarray(self.codes).shape[1]),
+                "codes_bits": pack_bits(kept, bits),
+                "code_bits": bits,
+                "n_codes": int(kept.size),
+                "counts_bits": pack_bits(counts, cbits),
+                "count_bits": cbits,
+                "counts_shape": tuple(counts.shape),
+                "n_codebooks": nq,
+                "metadata": metadata,
+            }
+        elif compact:
+            artifacts = {
+                "codes_bits": pack_bits(codes, bits),
+                "code_bits": bits,
+                "n_codes": int(codes.size),
+                "codes_shape": tuple(codes.shape),
                 "metadata": metadata,
             }
         else:
             artifacts = {
-                "codes": np.asarray(self.codes).astype(np.uint16),
+                "codes": codes.astype(np.uint16),
                 "metadata": metadata,
             }
         path = Path(path).with_suffix(".dac")
@@ -255,10 +314,31 @@ class DACFile:
             )
         metadata["input_db"] = float(metadata["input_db"])
         vbr_counts = artifacts.get("vbr_counts", None)
-        if "codes_packed" in artifacts:
+        if "counts_bits" in artifacts:
+            # bit-packed VBR (current format)
+            shape = tuple(artifacts["counts_shape"])
+            vbr_counts = unpack_bits(
+                artifacts["counts_bits"], artifacts["count_bits"],
+                int(np.prod(shape)),
+            ).astype(np.uint8).reshape(shape)
+            kept = unpack_bits(
+                artifacts["codes_bits"], artifacts["code_bits"],
+                artifacts["n_codes"],
+            )
+            codes = unpack_vbr_codes(kept, vbr_counts, artifacts["n_codebooks"])
+        elif "codes_bits" in artifacts:
+            # bit-packed CBR (compact=True)
+            shape = tuple(artifacts["codes_shape"])
+            codes = unpack_bits(
+                artifacts["codes_bits"], artifacts["code_bits"],
+                artifacts["n_codes"],
+            ).astype(np.int32).reshape(shape)
+        elif "codes_packed" in artifacts:
+            # earlier VBR format (unpacked-bits kept codes)
             codes = unpack_vbr_codes(
                 artifacts["codes_packed"], vbr_counts, artifacts["n_codebooks"]
             )
         else:
+            # reference-compatible plain uint16
             codes = artifacts["codes"].astype(np.int32)
         return cls(codes=codes, vbr_counts=vbr_counts, **metadata)
