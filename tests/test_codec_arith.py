@@ -187,3 +187,41 @@ def test_dacfile_legacy_vbr_format_loads(tmp_path):
     stage = np.arange(4).reshape(1, 4, 1)
     mask = stage < counts[:, None, :]
     np.testing.assert_array_equal(g.codes[mask], codes[mask])
+
+
+def test_dacfile_entropy_coded(tmp_path):
+    """entropy=True range-codes the stream: lossless roundtrip, and on a
+    skewed (realistic) code distribution the file beats bit-packing."""
+    from vrvq_tpu.models.codec import DACFile
+
+    rng = np.random.RandomState(3)
+    b, nq, t, k = 1, 8, 3000, 1024
+    # skewed per-stage distributions (trained codecs emit ~7.5/10 bits)
+    codes = np.zeros((b, nq, t), np.int32)
+    for i in range(nq):
+        p = 1.0 / (np.arange(1, k + 1) ** 1.2)
+        p /= p.sum()
+        codes[0, i] = rng.permutation(k)[rng.choice(k, size=t, p=p)]
+    counts = rng.randint(1, nq + 1, size=(b, t)).astype(np.uint8)
+    meta = dict(chunk_length=t, original_length=t * 512, input_db=-16.0,
+                channels=1, sample_rate=44100, padding=True)
+
+    # VBR: entropy vs bit-packed
+    vbr = DACFile(codes=codes, vbr_counts=counts, **meta)
+    p_pack = vbr.save(tmp_path / "pack.dac", codebook_size=k)
+    p_rc = vbr.save(tmp_path / "rc.dac", codebook_size=k, entropy=True)
+    g = DACFile.load(p_rc)
+    np.testing.assert_array_equal(g.vbr_counts, counts)
+    stage = np.arange(nq).reshape(1, nq, 1)
+    mask = stage < counts[:, None, :]
+    np.testing.assert_array_equal(g.codes[mask], codes[mask])
+    assert p_rc.stat().st_size < 0.85 * p_pack.stat().st_size
+
+    # CBR: entropy roundtrip
+    cbr = DACFile(codes=codes, **meta)
+    p_crc = cbr.save(tmp_path / "cbr_rc.dac", codebook_size=k, entropy=True)
+    h = DACFile.load(p_crc)
+    np.testing.assert_array_equal(h.codes, codes)
+    p_cpack = cbr.save(tmp_path / "cbr_pack.dac", codebook_size=k,
+                       compact=True)
+    assert p_crc.stat().st_size < 0.85 * p_cpack.stat().st_size
