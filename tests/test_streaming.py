@@ -206,3 +206,66 @@ def test_stream_demo_cli(tmp_path):
     assert out.exists()
     got = Signal.load(out)
     assert got.audio_data.shape[-1] == len(x)
+
+
+def test_packet_codec_roundtrip_and_adaptation(proc, tone):
+    """PacketCodec: every chunk survives the wire bit-exactly through a
+    sender/receiver pair, and cross-packet adaptation shrinks later
+    packets below the bit-packed size."""
+    from vrvq_tpu.infer.streaming import PacketCodec
+
+    enc = StreamingEncoder(proc, win_duration=0.7, level=1.5)
+    chunks = enc.push(tone) + enc.flush()
+    assert len(chunks) >= 3
+
+    nq, k = proc.model.n_codebooks, proc.model.codebook_size
+    sender, receiver = PacketCodec(nq, k), PacketCodec(nq, k)
+    sizes = []
+    for codes, counts in chunks:
+        pkt = sender.pack(codes, counts)
+        sizes.append(len(pkt))
+        codes2, counts2 = receiver.unpack(pkt)
+        np.testing.assert_array_equal(counts2, counts)
+        mask = np.arange(nq)[:, None] < counts[None, :]
+        np.testing.assert_array_equal(codes2[mask], codes[mask])
+    # adaptive models persist: the last packet codes below fixed-width
+    kept_last = int(chunks[-1][1].sum())
+    bits = int(np.ceil(np.log2(k)))
+    assert sizes[-1] < kept_last * bits / 8 + 16
+
+
+def test_packet_codec_cbr(proc, tone):
+    from vrvq_tpu.infer.streaming import PacketCodec
+
+    enc = StreamingEncoder(proc, win_duration=0.7, n_quantizers=4)
+    chunks = enc.push(tone) + enc.flush()
+    nq, k = proc.model.n_codebooks, proc.model.codebook_size
+    sender, receiver = PacketCodec(nq, k), PacketCodec(nq, k)
+    for codes, counts in chunks:
+        assert counts is None
+        # CBR chunks from a VBR model still carry all Nq stage rows
+        codes2, counts2 = receiver.unpack(sender.pack(codes))
+        assert counts2 is None
+        np.testing.assert_array_equal(codes2, codes)
+
+
+def test_packet_codec_end_to_end_audio(proc, tone):
+    """Full wire path: encoder -> packets -> decoder reproduces the same
+    audio as the direct (no-wire) streaming path."""
+    from vrvq_tpu.infer.streaming import PacketCodec
+
+    nq, k = proc.model.n_codebooks, proc.model.codebook_size
+
+    def run(wire: bool):
+        enc = StreamingEncoder(proc, win_duration=0.7, level=1.0)
+        dec = StreamingDecoder(proc, win_duration=0.7)
+        snd, rcv = PacketCodec(nq, k), PacketCodec(nq, k)
+        out = []
+        for codes, counts in enc.push(tone) + enc.flush():
+            if wire:
+                codes, counts = rcv.unpack(snd.pack(codes, counts))
+            out += dec.push(codes, counts)
+        out += dec.flush()
+        return np.concatenate(out)
+
+    np.testing.assert_array_equal(run(wire=True), run(wire=False))

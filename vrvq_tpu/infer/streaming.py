@@ -54,6 +54,7 @@ Example::
 from __future__ import annotations
 
 import math
+import struct
 from typing import Iterator, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -256,3 +257,79 @@ class StreamingDecoder:
         self._codes = None
         self._counts = None
         return [self._decode_chunk(c, cnt)]
+
+
+class PacketCodec:
+    """Entropy-coded wire format for live code streaming.
+
+    Turns each ``(codes (Nq, F), vbr_counts (F,) | None)`` chunk from a
+    :class:`StreamingEncoder` into one self-delimiting bytes packet and
+    back, with ADAPTIVE per-stage range-coder models that persist across
+    packets (ops/rangecoder.AdaptiveCoder) — so later chunks ride the
+    statistics adapted on earlier ones, approaching the offline
+    ``DACFile.save(entropy=True)`` rate without buffering the stream.
+
+    Sender and receiver each hold their own instance; they stay in sync
+    iff packets are unpacked in the order they were packed (use an
+    ordered transport, or frame+reorder upstream). Packet layout
+    (little-endian): u16 frame count F, u8 vbr flag, u16 counts-payload
+    length + payload (VBR only), u32 codes-payload length + payload.
+    """
+
+    def __init__(self, n_codebooks: int, codebook_size: int):
+        from ..ops.rangecoder import AdaptiveCoder
+
+        self.n_codebooks = n_codebooks
+        self._codes_coder = AdaptiveCoder(codebook_size, n_codebooks)
+        self._counts_coder = AdaptiveCoder(n_codebooks + 1)
+
+    def _contexts(self, counts: Optional[np.ndarray], frames: int):
+        nq = self.n_codebooks
+        if counts is None:
+            # CBR: all stages, (t, stage) order
+            return np.tile(np.arange(nq), frames)
+        stage = np.broadcast_to(np.arange(nq), (frames, nq))
+        return stage[stage < np.asarray(counts)[:, None]]
+
+    def pack(self, codes: np.ndarray,
+             counts: Optional[np.ndarray] = None) -> bytes:
+        codes = np.asarray(codes)
+        nq, frames = codes.shape
+        if nq != self.n_codebooks:
+            raise ValueError(f"expected {self.n_codebooks} codebooks, got {nq}")
+        header = struct.pack("<HB", frames, 1 if counts is not None else 0)
+        body = b""
+        if counts is not None:
+            counts = np.asarray(counts)
+            cp = self._counts_coder.encode(counts)
+            body += struct.pack("<H", len(cp)) + cp
+            kept = codes.T[np.arange(nq)[None, :] < counts[:, None]]
+        else:
+            kept = codes.T.reshape(-1)  # (t, stage) order
+        ctx = self._contexts(counts, frames)
+        payload = self._codes_coder.encode(kept, ctx)
+        return header + body + struct.pack("<I", len(payload)) + payload
+
+    def unpack(self, packet: bytes) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        frames, vbr = struct.unpack_from("<HB", packet, 0)
+        off = 3
+        counts = None
+        if vbr:
+            (clen,) = struct.unpack_from("<H", packet, off)
+            off += 2
+            counts = self._counts_coder.decode(
+                packet[off: off + clen], frames
+            ).astype(np.uint8)
+            off += clen
+        (plen,) = struct.unpack_from("<I", packet, off)
+        off += 4
+        ctx = self._contexts(counts, frames)
+        kept = self._codes_coder.decode(packet[off: off + plen], ctx.size, ctx)
+        nq = self.n_codebooks
+        codes = np.zeros((frames, nq), np.int32)
+        if counts is not None:
+            mask = np.arange(nq)[None, :] < counts[:, None]
+            codes[mask] = kept.astype(np.int32)
+        else:
+            codes = kept.astype(np.int32).reshape(frames, nq)
+        return codes.T, counts

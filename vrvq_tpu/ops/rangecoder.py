@@ -150,6 +150,58 @@ class _Decoder:
             self.range = (self.range << 8) & _MASK32
 
 
+class AdaptiveCoder:
+    """Stateful adaptive coder: the frequency models PERSIST across
+    ``encode``/``decode`` calls (each call is one independently flushed
+    range-coder packet). A sender/receiver pair stays in sync as long as
+    packets are coded/decoded in order — the live-streaming transport
+    (infer/streaming.PacketCodec) rides on this so later chunks enjoy the
+    statistics adapted on earlier ones."""
+
+    def __init__(self, n_symbols: int, n_contexts: int = 1):
+        self.n_symbols = n_symbols
+        self.models = [_Fenwick(n_symbols) for _ in range(n_contexts)]
+
+    def _ctx(self, contexts, size):
+        ctx = (np.zeros(size, np.int64) if contexts is None
+               else np.asarray(contexts).reshape(-1))
+        if ctx.size != size:
+            raise ValueError("contexts length must match symbols")
+        return ctx
+
+    def encode(self, symbols: np.ndarray,
+               contexts: Optional[np.ndarray] = None) -> bytes:
+        symbols = np.asarray(symbols).reshape(-1)
+        if symbols.size and (
+            symbols.min() < 0 or symbols.max() >= self.n_symbols
+        ):
+            raise ValueError("symbol out of range")
+        ctx = self._ctx(contexts, symbols.size)
+        enc = _Encoder()
+        for s, c in zip(symbols.tolist(), ctx.tolist()):
+            m = self.models[c]
+            start = m.prefix(s)
+            size = m.prefix(s + 1) - start
+            enc.encode(start, size, m.total)
+            m.update(s)
+        return enc.flush()
+
+    def decode(self, data: bytes, count: int,
+               contexts: Optional[np.ndarray] = None) -> np.ndarray:
+        ctx = self._ctx(contexts, count)
+        dec = _Decoder(data)
+        out = np.empty(count, np.uint32)
+        for i in range(count):
+            m = self.models[ctx[i]]
+            cum = dec.get_cum(m.total)
+            sym, start = m.find(cum)
+            size = m.prefix(sym + 1) - start
+            dec.decode(start, size)
+            m.update(sym)
+            out[i] = sym
+        return out
+
+
 def encode_adaptive(
     symbols: np.ndarray,
     n_symbols: int,
@@ -158,23 +210,8 @@ def encode_adaptive(
 ) -> bytes:
     """Range-code ``symbols`` (flat ints in [0, n_symbols)) with one
     adaptive model per context (flat ints in [0, n_contexts); None = one
-    shared model)."""
-    symbols = np.asarray(symbols).reshape(-1)
-    if symbols.size and (symbols.min() < 0 or symbols.max() >= n_symbols):
-        raise ValueError("symbol out of range")
-    ctx = (np.zeros(symbols.size, np.int64) if contexts is None
-           else np.asarray(contexts).reshape(-1))
-    if ctx.size != symbols.size:
-        raise ValueError("contexts length must match symbols")
-    models = [_Fenwick(n_symbols) for _ in range(n_contexts)]
-    enc = _Encoder()
-    for s, c in zip(symbols.tolist(), ctx.tolist()):
-        m = models[c]
-        start = m.prefix(s)
-        size = m.prefix(s + 1) - start
-        enc.encode(start, size, m.total)
-        m.update(s)
-    return enc.flush()
+    shared model). One-shot: fresh models per call."""
+    return AdaptiveCoder(n_symbols, n_contexts).encode(symbols, contexts)
 
 
 def decode_adaptive(
@@ -186,19 +223,4 @@ def decode_adaptive(
 ) -> np.ndarray:
     """Inverse of :func:`encode_adaptive`; ``contexts`` must replay the
     encoder's context sequence."""
-    ctx = (np.zeros(count, np.int64) if contexts is None
-           else np.asarray(contexts).reshape(-1))
-    if ctx.size != count:
-        raise ValueError("contexts length must match count")
-    models = [_Fenwick(n_symbols) for _ in range(n_contexts)]
-    dec = _Decoder(data)
-    out = np.empty(count, np.uint32)
-    for i in range(count):
-        m = models[ctx[i]]
-        cum = dec.get_cum(m.total)
-        sym, start = m.find(cum)
-        size = m.prefix(sym + 1) - start
-        dec.decode(start, size)
-        m.update(sym)
-        out[i] = sym
-    return out
+    return AdaptiveCoder(n_symbols, n_contexts).decode(data, count, contexts)
