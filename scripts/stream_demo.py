@@ -10,7 +10,8 @@ compress/decompress are stubs, models/dac_base.py:129-141).
 Usage:
     python scripts/stream_demo.py --args.load conf/vrvq/vrvq_a2.yml \
         --ckpt_dir ckpt --tag latest --input in.wav --output out.wav \
-        --win_duration 1.0 --level 1.0 [--block_ms 20] [--fused_quantizer 1]
+        --win_duration 1.0 --level 1.0 [--block_ms 20] [--fused_quantizer 1] \
+        [--entropy 1]   # range-coded wire packets (PacketCodec)
 """
 
 import os
@@ -36,7 +37,9 @@ enable_compilation_cache()
 def stream(cfg):
     from vrvq_tpu.data.audio_io import read_audio, write_wav
     from vrvq_tpu.infer.codec_api import CodecProcessor
-    from vrvq_tpu.infer.streaming import StreamingDecoder, StreamingEncoder
+    from vrvq_tpu.infer.streaming import (
+        PacketCodec, StreamingDecoder, StreamingEncoder,
+    )
     from vrvq_tpu.models import DAC_VRVQ
     from vrvq_tpu.train.checkpoint import load_gen_params
 
@@ -60,6 +63,11 @@ def stream(cfg):
     enc = StreamingEncoder(proc, win_duration=win, n_quantizers=n_q,
                            level=None if n_q is not None else level)
     dec = StreamingDecoder(proc, win_duration=win)
+    entropy = bool(cfg.get("entropy", False))
+    sender = receiver = None
+    if entropy:
+        sender = PacketCodec(model.n_codebooks, model.codebook_size)
+        receiver = PacketCodec(model.n_codebooks, model.codebook_size)
     block = max(1, int(float(cfg.get("block_ms", 20)) / 1000 * sr))
 
     print(f"stream: {len(x) / sr:.2f}s in {block}-sample blocks; "
@@ -73,10 +81,15 @@ def stream(cfg):
         nonlocal bits
         for codes, counts in chunks:
             t0 = time.perf_counter()
+            if entropy:  # through the range-coded wire format
+                packet = sender.pack(codes, counts)
+                bits += len(packet) * 8
+                codes, counts = receiver.unpack(packet)
+            else:
+                kept = counts.sum() if counts is not None else codes.size
+                bits += int(kept) * bits_per_code
             out.extend(dec.push(codes, counts))
             chunk_ms.append((time.perf_counter() - t0) * 1000)
-            kept = counts.sum() if counts is not None else codes.size
-            bits += int(kept) * bits_per_code
 
     t_start = time.perf_counter()
     for i in range(0, len(x), block):
@@ -89,8 +102,9 @@ def stream(cfg):
     write_wav(cfg.get("output", "stream_out.wav"), y[None, :], sr)
     dur = len(x) / sr
     kbps = bits / dur / 1000
+    wire = "wire " if entropy else ""
     print(f"done: {dur:.2f}s audio in {wall:.2f}s wall "
-          f"({dur / wall:.1f}x realtime), {kbps:.1f} kbps, "
+          f"({dur / wall:.1f}x realtime), {kbps:.1f} {wire}kbps, "
           f"{len(chunk_ms)} chunks, per-chunk decode "
           f"median {np.median(chunk_ms):.1f} ms (first includes compile)")
 
