@@ -73,3 +73,54 @@ def test_errors():
         encode_adaptive(np.array([5]), 4)
     with pytest.raises(ValueError):
         encode_adaptive(np.array([1, 2]), 4, np.array([0]), 2)
+
+
+@pytest.mark.skipif(
+    __import__("vrvq_tpu.ops.rangecoder", fromlist=["x"])._native_lib() is None,
+    reason="native lib not built",
+)
+def test_native_backend_byte_identical():
+    """The C++ coder must produce byte-identical output to the Python
+    specification (files/packets interop across backends), across
+    one-shot and cross-packet stateful use."""
+    from vrvq_tpu.ops.rangecoder import AdaptiveCoder
+
+    rng = np.random.RandomState(7)
+    n_symbols, n_ctx = 1024, 8
+    py = AdaptiveCoder(n_symbols, n_ctx, backend="python")
+    cc = AdaptiveCoder(n_symbols, n_ctx, backend="native")
+    py_dec = AdaptiveCoder(n_symbols, n_ctx, backend="python")
+    cc_dec = AdaptiveCoder(n_symbols, n_ctx, backend="native")
+    for packet in range(6):
+        n = rng.randint(1, 3000)
+        syms = rng.randint(0, n_symbols, size=n)
+        rep = rng.randint(0, n_symbols)
+        syms[rng.rand(n) < 0.6] = rep  # skew
+        ctx = rng.randint(0, n_ctx, size=n)
+        a = py.encode(syms, ctx)
+        b = cc.encode(syms, ctx)
+        assert a == b, f"packet {packet}: byte divergence"
+        # cross-backend decode: python bytes through native decoder & v.v.
+        np.testing.assert_array_equal(cc_dec.decode(a, n, ctx), syms)
+        np.testing.assert_array_equal(py_dec.decode(b, n, ctx), syms)
+
+
+@pytest.mark.skipif(
+    __import__("vrvq_tpu.ops.rangecoder", fromlist=["x"])._native_lib() is None,
+    reason="native lib not built",
+)
+def test_native_backend_throughput():
+    """Native coder should be at least 10x the Python coder."""
+    import time
+
+    from vrvq_tpu.ops.rangecoder import AdaptiveCoder
+
+    rng = np.random.RandomState(9)
+    syms = rng.randint(0, 1024, size=30000)
+    t0 = time.perf_counter()
+    AdaptiveCoder(1024, backend="python").encode(syms)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    AdaptiveCoder(1024, backend="native").encode(syms)
+    t_cc = time.perf_counter() - t0
+    assert t_cc < t_py / 10, f"native {t_cc:.3f}s vs python {t_py:.3f}s"

@@ -150,17 +150,79 @@ class _Decoder:
             self.range = (self.range << 8) & _MASK32
 
 
+def _native_lib():
+    """The C++ backend in libvrvqio.so (native/io/rangecoder.cc), ~100x
+    the Python coder's throughput with byte-identical output; None when
+    the shared library isn't built."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    from pathlib import Path
+
+    so = Path(__file__).parents[1] / "native" / "io" / "libvrvqio.so"
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.vrvq_rc_model_new.restype = ctypes.c_void_p
+        lib.vrvq_rc_model_new.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.vrvq_rc_model_free.argtypes = [ctypes.c_void_p]
+        lib.vrvq_rc_encode.restype = ctypes.c_long
+        lib.vrvq_rc_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.vrvq_rc_decode.restype = ctypes.c_long
+        lib.vrvq_rc_decode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        _NATIVE = lib
+    except (OSError, AttributeError):
+        _NATIVE = None
+    return _NATIVE
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
 class AdaptiveCoder:
     """Stateful adaptive coder: the frequency models PERSIST across
     ``encode``/``decode`` calls (each call is one independently flushed
     range-coder packet). A sender/receiver pair stays in sync as long as
     packets are coded/decoded in order — the live-streaming transport
     (infer/streaming.PacketCodec) rides on this so later chunks enjoy the
-    statistics adapted on earlier ones."""
+    statistics adapted on earlier ones.
 
-    def __init__(self, n_symbols: int, n_contexts: int = 1):
+    Uses the C++ backend (native/io/rangecoder.cc via ctypes) when built
+    — byte-identical output, ~100x faster — and the pure-Python coder
+    otherwise; ``backend='python'`` forces the fallback (used by the
+    cross-backend parity tests)."""
+
+    def __init__(self, n_symbols: int, n_contexts: int = 1,
+                 backend: str = "auto"):
         self.n_symbols = n_symbols
-        self.models = [_Fenwick(n_symbols) for _ in range(n_contexts)]
+        self.n_contexts = n_contexts
+        self._lib = _native_lib() if backend in ("auto", "native") else None
+        if backend == "native" and self._lib is None:
+            raise RuntimeError("native range coder not built "
+                               "(make -C vrvq_tpu/native/io)")
+        self._handle = None
+        if self._lib is not None:
+            self._handle = self._lib.vrvq_rc_model_new(n_symbols, n_contexts)
+            if not self._handle:
+                self._lib = None
+        if self._lib is None:
+            self.models = [_Fenwick(n_symbols) for _ in range(n_contexts)]
+
+    def __del__(self):
+        lib, handle = getattr(self, "_lib", None), getattr(self, "_handle", None)
+        if lib is not None and handle:
+            lib.vrvq_rc_model_free(handle)
 
     def _ctx(self, contexts, size):
         ctx = (np.zeros(size, np.int64) if contexts is None
@@ -177,6 +239,27 @@ class AdaptiveCoder:
         ):
             raise ValueError("symbol out of range")
         ctx = self._ctx(contexts, symbols.size)
+        if ctx.size and (ctx.min() < 0 or ctx.max() >= self.n_contexts):
+            raise ValueError("context out of range")
+        if self._lib is not None:
+            import ctypes
+
+            syms = np.ascontiguousarray(symbols, np.int32)
+            cx = np.ascontiguousarray(ctx, np.int32)
+            # worst case: ~log2(total) bits/symbol + flush slack
+            cap = int(symbols.size * 4 + 64)
+            out = np.empty(cap, np.uint8)
+            n = self._lib.vrvq_rc_encode(
+                self._handle,
+                syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                symbols.size,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap,
+            )
+            if n < 0:
+                raise RuntimeError("range coder output overflow")
+            return out[:n].tobytes()
         enc = _Encoder()
         for s, c in zip(symbols.tolist(), ctx.tolist()):
             m = self.models[c]
@@ -189,6 +272,23 @@ class AdaptiveCoder:
     def decode(self, data: bytes, count: int,
                contexts: Optional[np.ndarray] = None) -> np.ndarray:
         ctx = self._ctx(contexts, count)
+        if ctx.size and (ctx.min() < 0 or ctx.max() >= self.n_contexts):
+            raise ValueError("context out of range")
+        if self._lib is not None:
+            import ctypes
+
+            buf = np.frombuffer(bytes(data), np.uint8)
+            cx = np.ascontiguousarray(ctx, np.int32)
+            out = np.empty(max(count, 1), np.uint32)
+            self._lib.vrvq_rc_decode(
+                self._handle,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                buf.size,
+                cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                count,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            return out[:count]
         dec = _Decoder(data)
         out = np.empty(count, np.uint32)
         for i in range(count):
