@@ -269,3 +269,18 @@ def test_packet_codec_end_to_end_audio(proc, tone):
         return np.concatenate(out)
 
     np.testing.assert_array_equal(run(wire=True), run(wire=False))
+
+
+def test_streaming_over_fused_proc(proc, tone):
+    """StreamingEncoder over a fused-quantizer CodecProcessor: identical
+    codes AND counts to the module-path streaming encoder; the counts
+    come fused inside the encode program (enc['counts'])."""
+    fused = CodecProcessor(proc.model, proc.params, fused_quantizer=True)
+    a = StreamingEncoder(proc, win_duration=0.7, level=1.5)
+    b = StreamingEncoder(fused, win_duration=0.7, level=1.5)
+    ca = a.push(tone) + a.flush()
+    cb = b.push(tone) + b.flush()
+    assert len(ca) == len(cb)
+    for (codes_a, cnt_a), (codes_b, cnt_b) in zip(ca, cb):
+        np.testing.assert_array_equal(codes_a, codes_b)
+        np.testing.assert_array_equal(cnt_a, cnt_b)

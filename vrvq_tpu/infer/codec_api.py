@@ -102,6 +102,7 @@ class CodecProcessor:
         from ..ops.rvq_kernel import quantize_fused
 
         vbr = variant.model_type == "VBR"
+        n_q = variant.n_codebooks
 
         def encode(a, nq, lv):
             x = a.transpose(0, 2, 1)
@@ -110,6 +111,7 @@ class CodecProcessor:
                 method=lambda m, xx: m.encoder(xx, return_feat=True),
             )
             imp_map = None
+            counts = None
             # CBR requests (static nq) skip the subnet like the module path
             if vbr and nq is None:
                 # imp subnet + the padless center-crop, mirroring
@@ -122,13 +124,18 @@ class CodecProcessor:
                 if extra > 0:
                     lo = extra // 2
                     imp_map = imp_map[..., lo:lo + z.shape[1]]
+                # per-frame counts fused into this program: one dispatch
+                # per window on the serving path instead of two
+                counts = jnp.sum(
+                    generate_mask_hard(imp_map * lv * n_q, n_q), axis=1
+                ).astype(jnp.uint8)
             interpret = jax.devices()[0].platform != "tpu"
             _, codes = quantize_fused(
                 variant, self.params, z, interpret=interpret
             )
             if nq is not None:
                 codes = codes[:, :nq]  # CBR: stages beyond nq are unused
-            return {"codes": codes, "imp_map": imp_map}
+            return {"codes": codes, "imp_map": imp_map, "counts": counts}
 
         return jax.jit(encode, static_argnums=(1,))
 
@@ -222,7 +229,7 @@ class CodecProcessor:
             x = np.pad(data, ((0, 0), (0, 0), (0, right_pad)))
             enc = self._encode_pad(jnp.asarray(x), n_quantizers, lv)
             codes = np.asarray(enc["codes"])
-            counts = self._mask_counts(enc, lv) if vbr else None
+            counts = self._vbr_counts(enc, lv) if vbr else None
             chunk_length = codes.shape[-1]
         else:
             # Chunked: padding-free codec, delay-padded ends
@@ -239,7 +246,7 @@ class CodecProcessor:
                 enc = self._encode_nopad(jnp.asarray(x), n_quantizers, lv)
                 codes_list.append(np.asarray(enc["codes"]))
                 if vbr:
-                    counts_list.append(self._mask_counts(enc, lv))
+                    counts_list.append(self._vbr_counts(enc, lv))
             chunk_length = codes_list[0].shape[-1]
             codes = np.concatenate(codes_list, axis=-1)
             counts = np.concatenate(counts_list, axis=-1) if vbr else None
@@ -254,6 +261,15 @@ class CodecProcessor:
             padding=padding,
             vbr_counts=counts,
         )
+
+    def _vbr_counts(self, enc, level: float) -> np.ndarray:
+        """Per-frame counts: already fused into the encode program on the
+        fused path; one extra jitted dispatch on the module path (whose
+        encode program stays byte-identical to the cached plain one)."""
+        c = enc.get("counts")
+        if c is not None:
+            return np.asarray(c)
+        return self._mask_counts(enc, level)
 
     def _mask_counts(self, enc, level: float) -> np.ndarray:
         """(B, T) per-frame codebook counts from the importance map

@@ -113,7 +113,7 @@ class StreamingEncoder:
         )
         counts = None
         if self.vbr:
-            counts = self.proc._mask_counts(enc, self.level)[0]
+            counts = self.proc._vbr_counts(enc, self.level)[0]
         return codes, counts
 
     def _drain_ready(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
