@@ -195,9 +195,16 @@ def bench_fused_encode(model, params):
 
     t_module = _timeit(lambda: run(module))
     t_fused = _timeit(lambda: run(fused))
-    c_m = np.asarray(module._encode_pad(audio, None, 1.0)["codes"])
-    c_f = np.asarray(fused._encode_pad(audio, None, 1.0)["codes"])
+    enc_m = module._encode_pad(audio, None, 1.0)
+    enc_f = fused._encode_pad(audio, None, 1.0)
+    c_m, c_f = np.asarray(enc_m["codes"]), np.asarray(enc_f["codes"])
     assert (c_m == c_f).all(), "fused encode codes diverged from module path"
+    # counts parity on REAL hardware: the fused path thresholds imp_map
+    # inside the encode program; XLA fusion differences could flip
+    # borderline frames (CPU interpret tests can't catch that)
+    n_m = module._vbr_counts(enc_m, 1.0)
+    n_f = fused._vbr_counts(enc_f, 1.0)
+    assert (n_m == n_f).all(), "fused encode VBR counts diverged"
     return {
         "encode_module_ms": round(t_module * 1e3, 1),
         "encode_fused_ms": round(t_fused * 1e3, 1),

@@ -235,18 +235,28 @@ def test_packet_codec_roundtrip_and_adaptation(proc, tone):
 
 
 def test_packet_codec_cbr(proc, tone):
+    """CBR chunks — including n_quantizers < n_codebooks, which emit
+    fewer stage rows — survive the wire; truncated/corrupt packets are
+    rejected instead of silently desyncing the adaptive models."""
     from vrvq_tpu.infer.streaming import PacketCodec
 
-    enc = StreamingEncoder(proc, win_duration=0.7, n_quantizers=4)
-    chunks = enc.push(tone) + enc.flush()
     nq, k = proc.model.n_codebooks, proc.model.codebook_size
-    sender, receiver = PacketCodec(nq, k), PacketCodec(nq, k)
-    for codes, counts in chunks:
-        assert counts is None
-        # CBR chunks from a VBR model still carry all Nq stage rows
-        codes2, counts2 = receiver.unpack(sender.pack(codes))
-        assert counts2 is None
-        np.testing.assert_array_equal(codes2, codes)
+    for n_quant in (nq, 2):
+        enc = StreamingEncoder(proc, win_duration=0.7, n_quantizers=n_quant)
+        chunks = enc.push(tone) + enc.flush()
+        sender, receiver = PacketCodec(nq, k), PacketCodec(nq, k)
+        for codes, counts in chunks:
+            assert counts is None
+            assert codes.shape[0] == n_quant
+            codes2, counts2 = receiver.unpack(sender.pack(codes))
+            assert counts2 is None
+            np.testing.assert_array_equal(codes2, codes)
+
+    pkt = PacketCodec(nq, k).pack(chunks[0][0])
+    with pytest.raises(ValueError, match="packet"):
+        PacketCodec(nq, k).unpack(pkt[:-3])
+    with pytest.raises(ValueError, match="packet"):
+        PacketCodec(nq, k).unpack(pkt + b"xx")
 
 
 def test_packet_codec_end_to_end_audio(proc, tone):

@@ -270,10 +270,14 @@ class PacketCodec:
     ``DACFile.save(entropy=True)`` rate without buffering the stream.
 
     Sender and receiver each hold their own instance; they stay in sync
-    iff packets are unpacked in the order they were packed (use an
-    ordered transport, or frame+reorder upstream). Packet layout
-    (little-endian): u16 frame count F, u8 vbr flag, u16 counts-payload
-    length + payload (VBR only), u32 codes-payload length + payload.
+    iff packets are unpacked, whole and in the order they were packed
+    (use an ordered, framed transport — ``unpack`` rejects truncated or
+    over-long packets, since decoding garbage would silently poison the
+    adaptive models for the rest of the stream). Packet layout
+    (little-endian): u16 frame count F, u8 vbr flag, u8 stage count
+    (< n_codebooks for CBR chunks with fewer quantizers), u16
+    counts-payload length + payload (VBR only), u32 codes-payload
+    length + payload.
     """
 
     def __init__(self, n_codebooks: int, codebook_size: int):
@@ -283,10 +287,9 @@ class PacketCodec:
         self._codes_coder = AdaptiveCoder(codebook_size, n_codebooks)
         self._counts_coder = AdaptiveCoder(n_codebooks + 1)
 
-    def _contexts(self, counts: Optional[np.ndarray], frames: int):
-        nq = self.n_codebooks
+    def _contexts(self, counts: Optional[np.ndarray], frames: int, nq: int):
         if counts is None:
-            # CBR: all stages, (t, stage) order
+            # CBR: the chunk's nq stages, (t, stage) order
             return np.tile(np.arange(nq), frames)
         stage = np.broadcast_to(np.arange(nq), (frames, nq))
         return stage[stage < np.asarray(counts)[:, None]]
@@ -295,9 +298,13 @@ class PacketCodec:
              counts: Optional[np.ndarray] = None) -> bytes:
         codes = np.asarray(codes)
         nq, frames = codes.shape
-        if nq != self.n_codebooks:
-            raise ValueError(f"expected {self.n_codebooks} codebooks, got {nq}")
-        header = struct.pack("<HB", frames, 1 if counts is not None else 0)
+        if nq > self.n_codebooks:
+            raise ValueError(
+                f"chunk has {nq} codebooks, codec built for "
+                f"{self.n_codebooks}"
+            )
+        header = struct.pack("<HBB", frames,
+                             1 if counts is not None else 0, nq)
         body = b""
         if counts is not None:
             counts = np.asarray(counts)
@@ -306,26 +313,32 @@ class PacketCodec:
             kept = codes.T[np.arange(nq)[None, :] < counts[:, None]]
         else:
             kept = codes.T.reshape(-1)  # (t, stage) order
-        ctx = self._contexts(counts, frames)
+        ctx = self._contexts(counts, frames, nq)
         payload = self._codes_coder.encode(kept, ctx)
         return header + body + struct.pack("<I", len(payload)) + payload
 
     def unpack(self, packet: bytes) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        frames, vbr = struct.unpack_from("<HB", packet, 0)
-        off = 3
+        frames, vbr, nq = struct.unpack_from("<HBB", packet, 0)
+        off = 4
         counts = None
         if vbr:
             (clen,) = struct.unpack_from("<H", packet, off)
             off += 2
+            if off + clen > len(packet):
+                raise ValueError("truncated packet (counts payload)")
             counts = self._counts_coder.decode(
                 packet[off: off + clen], frames
             ).astype(np.uint8)
             off += clen
         (plen,) = struct.unpack_from("<I", packet, off)
         off += 4
-        ctx = self._contexts(counts, frames)
+        if off + plen != len(packet):
+            raise ValueError(
+                f"corrupt packet: {len(packet) - off} payload bytes, "
+                f"header says {plen}"
+            )
+        ctx = self._contexts(counts, frames, nq)
         kept = self._codes_coder.decode(packet[off: off + plen], ctx.size, ctx)
-        nq = self.n_codebooks
         codes = np.zeros((frames, nq), np.int32)
         if counts is not None:
             mask = np.arange(nq)[None, :] < counts[:, None]

@@ -283,25 +283,27 @@ class DACFile:
             "dac_version": self.dac_version,
         }
         codes = np.asarray(self.codes)
-        n_sym = int(
-            codebook_size if codebook_size is not None
-            else (int(codes.max()) + 1 if codes.size else 2)
-        )
-        bits = _code_bits(n_sym)
+
+        def n_sym():
+            return int(
+                codebook_size if codebook_size is not None
+                else (int(codes.max()) + 1 if codes.size else 2)
+            )
+
         if self.vbr_counts is not None:
             counts = np.asarray(self.vbr_counts).astype(np.uint8)
             nq = int(codes.shape[1])
             kept = pack_vbr_codes(codes, counts)
-            cbits = _code_bits(nq + 1)
             if entropy:
                 from ..ops.rangecoder import encode_adaptive
 
                 ctx = _kept_stage_contexts(counts, nq)
+                ns = n_sym()
                 artifacts = {
                     "codes_rc": np.frombuffer(
-                        encode_adaptive(kept, n_sym, ctx, nq), np.uint8
+                        encode_adaptive(kept, ns, ctx, nq), np.uint8
                     ),
-                    "rc_n_symbols": n_sym,
+                    "rc_n_symbols": ns,
                     "n_codes": int(kept.size),
                     "counts_rc": np.frombuffer(
                         encode_adaptive(counts, nq + 1), np.uint8
@@ -311,6 +313,8 @@ class DACFile:
                     "metadata": metadata,
                 }
             else:
+                bits = _code_bits(n_sym())
+                cbits = _code_bits(nq + 1)
                 artifacts = {
                     "codes_bits": pack_bits(kept, bits),
                     "code_bits": bits,
@@ -328,16 +332,18 @@ class DACFile:
             ctx = np.broadcast_to(
                 np.arange(nq).reshape(1, nq, 1), codes.shape
             ).reshape(-1)
+            ns = n_sym()
             artifacts = {
                 "codes_rc": np.frombuffer(
-                    encode_adaptive(codes, n_sym, ctx, nq), np.uint8
+                    encode_adaptive(codes, ns, ctx, nq), np.uint8
                 ),
-                "rc_n_symbols": n_sym,
+                "rc_n_symbols": ns,
                 "n_codes": int(codes.size),
                 "codes_shape": tuple(codes.shape),
                 "metadata": metadata,
             }
         elif compact:
+            bits = _code_bits(n_sym())
             artifacts = {
                 "codes_bits": pack_bits(codes, bits),
                 "code_bits": bits,

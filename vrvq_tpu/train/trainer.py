@@ -106,19 +106,27 @@ def _batch_iterator(
 
     def producer():
         idx = start_idx
-        while True:
-            indices = [(idx + i) % max(len(dataset), 1) for i in range(batch_size)]
-            items = list(pool.map(dataset.__getitem__, indices))
-            batch = dataset.collate(items)
-            if prepare is not None:
-                batch["prepared_audio"] = prepare(batch)
-            q.put(batch)
-            idx += batch_size
+        try:
+            while True:
+                indices = [
+                    (idx + i) % max(len(dataset), 1) for i in range(batch_size)
+                ]
+                items = list(pool.map(dataset.__getitem__, indices))
+                batch = dataset.collate(items)
+                if prepare is not None:
+                    batch["prepared_audio"] = prepare(batch)
+                q.put(batch)
+                idx += batch_size
+        except BaseException as e:  # re-raise in the consumer, don't hang it
+            q.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
     while True:
-        yield q.get()
+        batch = q.get()
+        if isinstance(batch, BaseException):
+            raise batch
+        yield batch
 
 
 def load(
