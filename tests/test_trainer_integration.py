@@ -175,3 +175,32 @@ def test_inference_cli(env):
     assert len(loaded) == 12  # default level list
     for v in loaded.values():
         assert "sisdr" in v and "kbps" in v
+
+
+def test_batch_iterator_propagates_producer_errors():
+    """A transform/IO error in the prefetch producer thread must abort
+    the consumer (re-raised from q.get()), not hang it forever."""
+    from vrvq_tpu.train.trainer import _batch_iterator
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+        @staticmethod
+        def collate(items):
+            return {"xs": [it["x"] for it in items]}
+
+    def bad_prepare(batch):
+        raise RuntimeError("synthetic transform failure")
+
+    it = _batch_iterator(DS(), batch_size=2, prepare=bad_prepare)
+    with pytest.raises(RuntimeError, match="synthetic transform failure"):
+        next(it)
+
+    # and the happy path still yields prepared batches
+    it2 = _batch_iterator(DS(), batch_size=2, prepare=lambda b: sum(b["xs"]))
+    batch = next(it2)
+    assert batch["prepared_audio"] == batch["xs"][0] + batch["xs"][1]
