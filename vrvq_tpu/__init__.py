@@ -13,7 +13,12 @@ Design stance (TPU-first, not a torch translation):
   * static shapes everywhere; batch partitioning via masks, not slicing
   * PRNG keys threaded explicitly for level sampling / quantizer dropout
   * multi-chip scaling via jax.sharding.Mesh + NamedSharding data parallelism
-  * hot quantization path available as a fused Pallas kernel (ops.rvq_kernel)
+  * hot quantization path available as a fused Pallas kernel (ops.rvq_kernel),
+    wired into serving via CodecProcessor(fused_quantizer=True)
+  * serving stack: chunked compress/decompress (.dac, bit-packed +
+    optionally range-coded), push-style live streaming with an
+    entropy-coded wire format (infer.streaming), native C++ IO/coders
+    with pure-Python fallbacks (native/io)
 """
 
 __version__ = "0.1.0"
