@@ -244,6 +244,25 @@ def _build():
     return model, params
 
 
+def _probe_device(timeout_s: int = 600) -> bool:
+    """Bounded liveness probe in a subprocess: the remote TPU tunnel has
+    been observed fully down for hours (backend init hangs or raises
+    UNAVAILABLE) — without this, bench would hang instead of producing an
+    artifact."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     phase = next((a.split("=", 1)[1] for a in sys.argv[1:]
                   if a.startswith("--phase=")), None)
@@ -265,6 +284,17 @@ def main():
         else:
             raise SystemExit(f"unknown phase {phase}")
         return
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "encode_decode_realtime_factor",
+            "value": 0,
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": 0,
+            "error": "accelerator unreachable (remote TPU tunnel down; "
+                     "last good run: see BENCH_r artifacts / BASELINE.md)",
+        }))
+        sys.exit(1)
 
     model, params = _build()
     rtf, mfu, rtf_live, _ = bench_forward(model, params)
