@@ -25,7 +25,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def stack_quantizer_weights(quantizer_params: dict, n_codebooks: int):

@@ -21,7 +21,7 @@ mesh axis and params replicated; XLA inserts the gradient psums over ICI.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ rank-0 gating, and a state dict for checkpoint/resume.
 
 from __future__ import annotations
 
-import json
 import time
 from collections import defaultdict
 from pathlib import Path

@@ -27,9 +27,7 @@ from ..audio import Signal
 from ..config import Config
 from ..data.loaders import AudioDataset, AudioLoader, ConcatDataset
 from ..data.transforms import apply_on_host, build_transform
-from ..losses import (
-    GANLoss, L1Loss, MelSpectrogramLoss, MultiScaleSTFTLoss,
-)
+from ..losses import L1Loss, MelSpectrogramLoss, MultiScaleSTFTLoss
 from ..models import DAC_VRVQ, Discriminator
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from . import checkpoint as ckpt
