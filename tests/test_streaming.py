@@ -294,3 +294,56 @@ def test_streaming_over_fused_proc(proc, tone):
     for (codes_a, cnt_a), (codes_b, cnt_b) in zip(ca, cb):
         np.testing.assert_array_equal(codes_a, codes_b)
         np.testing.assert_array_equal(cnt_a, cnt_b)
+
+
+def test_stream_pool_matches_single_stream(proc, tone):
+    """N pooled streams (batched encode, pow2-padded) must produce
+    bit-identical chunks to N independent StreamingEncoders, in FIFO
+    order per stream."""
+    from vrvq_tpu.infer.streaming import StreamPool
+
+    streams = {f"s{i}": np.roll(tone, 4000 * i)[: len(tone) - 3000 * i]
+               for i in range(3)}
+    # reference: independent single-stream encoders
+    expected = {}
+    for sid, x in streams.items():
+        enc = StreamingEncoder(proc, win_duration=0.7, level=1.0)
+        expected[sid] = enc.push(x) + enc.flush()
+
+    pool = StreamPool(proc, win_duration=0.7, level=1.0, max_batch=4)
+    got = {sid: [] for sid in streams}
+    rngs = {sid: np.random.RandomState(i) for i, sid in enumerate(streams)}
+    for sid in streams:
+        pool.add_stream(sid)
+    cursors = {sid: 0 for sid in streams}
+    # interleave pushes in odd-sized blocks across streams
+    while any(cursors[sid] < len(x) for sid, x in streams.items()):
+        for sid, x in streams.items():
+            c = cursors[sid]
+            if c < len(x):
+                n = rngs[sid].randint(2000, 25000)
+                pool.push(sid, x[c: c + n])
+                cursors[sid] = c + n
+        for sid, codes, counts in pool.poll():
+            got[sid].append((codes, counts))
+    for sid in list(streams):
+        pool.flush(sid)
+    for sid, codes, counts in pool.poll():
+        got[sid].append((codes, counts))
+
+    for sid in streams:
+        assert len(got[sid]) == len(expected[sid]), sid
+        for (gc, gn), (ec, en) in zip(got[sid], expected[sid]):
+            np.testing.assert_array_equal(gc, ec)
+            np.testing.assert_array_equal(gn, en)
+
+
+def test_stream_pool_errors(proc):
+    from vrvq_tpu.infer.streaming import StreamPool
+
+    pool = StreamPool(proc, win_duration=0.7, n_quantizers=2)
+    pool.add_stream("a")
+    with pytest.raises(ValueError):
+        pool.add_stream("a")
+    with pytest.raises(KeyError):
+        pool.push("missing", np.zeros(10, np.float32))

@@ -55,12 +55,72 @@ from __future__ import annotations
 
 import math
 import struct
-from typing import Iterator, List, Optional, Tuple
+from typing import Any, Iterator, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from .codec_api import CodecProcessor
+
+
+class _WindowBuffer:
+    """Per-stream host state: turns an incremental sample stream into the
+    windowed-spec's fixed-size windows (left delay pad, stride ``hop``,
+    right delay pad + zero tail at flush). Pure buffering — encoding is
+    the caller's job, so one stream (StreamingEncoder) and many batched
+    streams (StreamPool) share the exact same window arithmetic."""
+
+    def __init__(self, window: int, hop: int, delay: int):
+        self.window, self.hop, self.delay = window, hop, delay
+        # buffer holds padded-stream samples from absolute index `start`;
+        # window w covers padded[w*hop : w*hop + window]
+        self._buf = np.zeros((delay,), np.float32)  # left delay pad
+        self._start = 0
+        self._windows_out = 0
+        self._real_len = 0
+        self.flushed = False
+
+    def push(self, samples: np.ndarray) -> List[np.ndarray]:
+        """Buffer a block; return the windows that completed."""
+        if self.flushed:
+            raise RuntimeError("push() after flush()")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._real_len += len(samples)
+        out = []
+        while True:
+            begin = self._windows_out * self.hop
+            end = begin + self.window
+            if end > self._start + len(self._buf):
+                return out
+            out.append(self._buf[begin - self._start: end - self._start])
+            self._windows_out += 1
+            # drop consumed prefix: nothing before the next window's
+            # begin is needed again
+            keep_from = self._windows_out * self.hop
+            if keep_from > self._start:
+                self._buf = self._buf[keep_from - self._start:]
+                self._start = keep_from
+
+    def flush(self) -> List[np.ndarray]:
+        """End of stream: the remaining windows (right delay pad + zero
+        tail), exactly like ``compress``'s final chunks."""
+        if self.flushed:
+            return []
+        self.flushed = True
+        self._buf = np.concatenate(
+            [self._buf, np.zeros((self.delay,), np.float32)]
+        )
+        total_windows = math.ceil(self._real_len / self.hop)
+        out = []
+        while self._windows_out < total_windows:
+            begin = self._windows_out * self.hop
+            x = self._buf[begin - self._start: begin - self._start + self.window]
+            if len(x) < self.window:
+                x = np.pad(x, (0, self.window - len(x)))
+            self._windows_out += 1
+            out.append(x)
+        return out
 
 
 class StreamingEncoder:
@@ -86,14 +146,7 @@ class StreamingEncoder:
         self.window, self.hop, self.chunk_frames, self.delay = (
             proc.window_geometry(win_duration)
         )
-
-        # stream state: buffer holds padded-stream samples from absolute
-        # index `start`; window w covers padded[w*hop : w*hop + window]
-        self._buf = np.zeros((self.delay,), np.float32)  # left delay pad
-        self._start = 0
-        self._windows_out = 0
-        self._real_len = 0
-        self._flushed = False
+        self._wb = _WindowBuffer(self.window, self.hop, self.delay)
 
     @property
     def samples_to_first_chunk(self) -> int:
@@ -116,51 +169,104 @@ class StreamingEncoder:
             counts = self.proc._vbr_counts(enc, self.level)[0]
         return codes, counts
 
-    def _drain_ready(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
-        while True:
-            begin = self._windows_out * self.hop
-            end = begin + self.window
-            if end > self._start + len(self._buf):
-                return
-            x = self._buf[begin - self._start: end - self._start]
-            self._windows_out += 1
-            # drop consumed prefix: nothing before the next window's begin
-            # is needed again
-            keep_from = self._windows_out * self.hop
-            if keep_from > self._start:
-                self._buf = self._buf[keep_from - self._start:]
-                self._start = keep_from
-            yield self._encode_window(x)
-
     def push(self, samples: np.ndarray) -> List[Tuple[np.ndarray, Optional[np.ndarray]]]:
         """Feed a block of samples (any length, shape (T,)); returns the
         list of ``(codes (Nq, F), vbr_counts (F,) | None)`` chunks whose
         windows completed."""
-        if self._flushed:
-            raise RuntimeError("push() after flush()")
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        self._buf = np.concatenate([self._buf, samples])
-        self._real_len += len(samples)
-        return list(self._drain_ready())
+        return [self._encode_window(x) for x in self._wb.push(samples)]
 
     def flush(self) -> List[Tuple[np.ndarray, Optional[np.ndarray]]]:
         """End of stream: emit the remaining windows (right delay pad +
         zero tail), exactly like ``compress``'s final chunks."""
-        if self._flushed:
-            return []
-        self._flushed = True
-        self._buf = np.concatenate(
-            [self._buf, np.zeros((self.delay,), np.float32)]
+        return [self._encode_window(x) for x in self._wb.flush()]
+
+
+class StreamPool:
+    """Many independent live streams through BATCHED encode dispatches.
+
+    Production serving rarely runs one stream per chip:
+    :class:`StreamingEncoder` encodes each ready window as a (1, 1, W)
+    program call, which underfills the accelerator and pays one dispatch
+    round-trip per window. A pool separates the two concerns: per-stream
+    host-side window buffering (``_WindowBuffer``, the exact arithmetic
+    the single-stream encoder uses) and device work — ``poll()`` stacks
+    every ready window across ALL streams and encodes them in batches of
+    at most ``max_batch``, padding the final partial batch up to the next
+    power of two so only log2(max_batch)+1 compiled programs ever exist.
+
+    Codes equal the single-stream encoder's bit-for-bit (batch is a
+    parallel dimension of the conv/quantizer math; asserted in tests).
+
+    Usage::
+
+        pool = StreamPool(proc, win_duration=1.0, level=1.0, max_batch=8)
+        pool.add_stream("caller-1")
+        pool.push("caller-1", block)           # buffers only
+        for sid, codes, counts in pool.poll(): # one batched dispatch
+            send(sid, codes, counts)
+        pool.flush("caller-1")                 # queue tail windows
+        leftovers = pool.poll()
+    """
+
+    def __init__(
+        self,
+        proc: CodecProcessor,
+        win_duration: float = 1.0,
+        n_quantizers: Optional[int] = None,
+        level: Optional[float] = None,
+        max_batch: int = 8,
+    ):
+        self.proc = proc
+        self.n_quantizers = n_quantizers
+        self.level = level
+        self.vbr = n_quantizers is None and level is not None
+        self.max_batch = int(max_batch)
+        self.window, self.hop, self.chunk_frames, self.delay = (
+            proc.window_geometry(win_duration)
         )
-        total_windows = math.ceil(self._real_len / self.hop)
+        self._streams: dict = {}
+        self._pending: List[Tuple[Any, np.ndarray]] = []
+
+    def add_stream(self, sid) -> None:
+        if sid in self._streams:
+            raise ValueError(f"stream {sid!r} already exists")
+        self._streams[sid] = _WindowBuffer(self.window, self.hop, self.delay)
+
+    def push(self, sid, samples: np.ndarray) -> None:
+        """Buffer a block for one stream; encoding happens in poll()."""
+        for w in self._streams[sid].push(samples):
+            self._pending.append((sid, w))
+
+    def flush(self, sid) -> None:
+        """Queue the stream's tail windows and remove it."""
+        wb = self._streams.pop(sid)
+        for w in wb.flush():
+            self._pending.append((sid, w))
+
+    def poll(self) -> List[Tuple[Any, np.ndarray, Optional[np.ndarray]]]:
+        """Encode every pending window, batched; returns
+        ``[(sid, codes (Nq, F), counts (F,) | None), ...]`` in per-stream
+        FIFO order."""
         out = []
-        while self._windows_out < total_windows:
-            begin = self._windows_out * self.hop
-            x = self._buf[begin - self._start: begin - self._start + self.window]
-            if len(x) < self.window:
-                x = np.pad(x, (0, self.window - len(x)))
-            self._windows_out += 1
-            out.append(self._encode_window(x))
+        pending, self._pending = self._pending, []
+        lv = self.level if self.level is not None else 1.0
+        for i in range(0, len(pending), self.max_batch):
+            take = pending[i: i + self.max_batch]
+            b = len(take)
+            bp = 1 << (b - 1).bit_length()  # next power of two
+            xs = np.zeros((bp, 1, self.window), np.float32)
+            for j, (_, w) in enumerate(take):
+                xs[j, 0] = w
+            enc = self.proc._encode_nopad(
+                jnp.asarray(xs), self.n_quantizers, lv
+            )
+            codes = np.asarray(enc["codes"])
+            counts = self.proc._vbr_counts(enc, lv) if self.vbr else None
+            for j, (sid, _) in enumerate(take):
+                out.append((
+                    sid, codes[j],
+                    counts[j] if counts is not None else None,
+                ))
         return out
 
 
