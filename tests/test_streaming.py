@@ -347,3 +347,38 @@ def test_stream_pool_errors(proc):
         pool.add_stream("a")
     with pytest.raises(KeyError):
         pool.push("missing", np.zeros(10, np.float32))
+
+
+def test_decoder_pool_matches_single_stream(proc, tone):
+    """Batched chunk decoding equals per-stream StreamingDecoder audio to
+    float rounding (XLA may vectorize convs differently per batch size,
+    so float outputs are allclose, not bit-equal)."""
+    from vrvq_tpu.infer.streaming import DecoderPool, StreamPool
+
+    pool = StreamPool(proc, win_duration=0.7, level=1.0, max_batch=4)
+    for sid in ("a", "b"):
+        pool.add_stream(sid)
+        pool.push(sid, np.roll(tone, 7000 if sid == "b" else 0))
+        pool.flush(sid)
+    chunks = pool.poll()
+
+    # reference: per-stream StreamingDecoder
+    decs = {sid: StreamingDecoder(proc, win_duration=0.7) for sid in ("a", "b")}
+    expected = {sid: [] for sid in ("a", "b")}
+    for sid, codes, counts in chunks:
+        expected[sid] += decs[sid].push(codes, counts)
+
+    dp = DecoderPool(proc, win_duration=0.7, max_batch=4)
+    for sid, codes, counts in chunks:
+        dp.push(sid, codes, counts)
+    got = {sid: [] for sid in ("a", "b")}
+    for sid, audio in dp.poll():
+        got[sid].append(audio)
+
+    for sid in ("a", "b"):
+        assert len(got[sid]) == len(expected[sid])
+        for g, e in zip(got[sid], expected[sid]):
+            np.testing.assert_allclose(g, e, atol=1e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="whole chunks"):
+        dp.push("a", chunks[0][1][..., :-1])

@@ -2,5 +2,5 @@ from .sweep import DEFAULT_LEVELS, LevelSweep, save_results
 from .codec_api import CodecProcessor
 from .fast import make_inference_model
 from .streaming import (
-    PacketCodec, StreamingDecoder, StreamingEncoder, StreamPool,
+    DecoderPool, PacketCodec, StreamingDecoder, StreamingEncoder, StreamPool,
 )

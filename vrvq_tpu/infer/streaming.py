@@ -270,6 +270,73 @@ class StreamPool:
         return out
 
 
+class DecoderPool:
+    """Decode-side counterpart of :class:`StreamPool`: chunks from many
+    streams decode in one batched dispatch (power-of-two padded). Audio
+    matches per-stream :class:`StreamingDecoder` pushes of whole chunks
+    to float rounding (~1e-7: XLA may vectorize convs differently per
+    batch size, so exact bit-parity across batch shapes is not
+    guaranteed for float outputs — unlike CODES, which are discrete and
+    tested bit-exact in :class:`StreamPool`).
+
+    Usage::
+
+        dp = DecoderPool(proc, win_duration=1.0, max_batch=8)
+        dp.push("caller-1", codes, counts)     # buffers only
+        for sid, audio in dp.poll():           # one batched dispatch
+            play(sid, audio)                   # hop-sized segment each
+    """
+
+    def __init__(
+        self,
+        proc: CodecProcessor,
+        win_duration: float = 1.0,
+        max_batch: int = 8,
+    ):
+        self.proc = proc
+        self.max_batch = int(max_batch)
+        _, self.hop, self.chunk_frames, _ = proc.window_geometry(win_duration)
+        self._pending: List[Tuple[Any, np.ndarray, Optional[np.ndarray]]] = []
+
+    def push(self, sid, codes: np.ndarray,
+             counts: Optional[np.ndarray] = None) -> None:
+        """Queue one whole encoder chunk (Nq, chunk_frames) for a stream."""
+        codes = np.asarray(codes)
+        if codes.shape[-1] != self.chunk_frames:
+            raise ValueError(
+                f"expected whole chunks of {self.chunk_frames} frames, "
+                f"got {codes.shape[-1]}"
+            )
+        self._pending.append((sid, codes, counts))
+
+    def poll(self) -> List[Tuple[Any, np.ndarray]]:
+        """Decode every pending chunk, batched; returns ``[(sid, audio
+        (hop,)), ...]`` in push order."""
+        out = []
+        pending, self._pending = self._pending, []
+        for i in range(0, len(pending), self.max_batch):
+            take = pending[i: i + self.max_batch]
+            b = len(take)
+            bp = 1 << (b - 1).bit_length()
+            nq = take[0][1].shape[0]
+            cf = self.chunk_frames
+            codes = np.zeros((bp, nq, cf), np.int32)
+            mask = np.zeros((bp, nq, cf), np.float32)
+            for j, (_, c, cnt) in enumerate(take):
+                codes[j] = c
+                if cnt is not None:
+                    mask[j] = (np.arange(nq)[:, None]
+                               < np.asarray(cnt)[None, :])
+                else:
+                    mask[j] = 1.0
+            r = np.asarray(self.proc._decode_codes_nopad(
+                jnp.asarray(codes), jnp.asarray(mask)
+            ))
+            for j, (sid, _, _) in enumerate(take):
+                out.append((sid, r[j, 0]))
+        return out
+
+
 class StreamingDecoder:
     """Incremental decoder: frame blocks in, hop-sized waveforms out."""
 
