@@ -19,6 +19,9 @@ Extra fields in the same JSON line:
                         batch 16 x 0.38 s
   * rtf_b32_chunked  — fast-path encode + memory-bounded chunked decode at
                         batch 32 x 10 s (one-shot f32 decode OOMs HBM there)
+  * stream_pool_rtf  — 32 live streams through StreamPool's batched,
+                        dispatch-overlapped serving encode (+ the
+                        single-stream first-chunk encode latency)
 
 Prints exactly one JSON line.
 """
@@ -212,6 +215,58 @@ def bench_fused_encode(model, params):
     }
 
 
+def bench_stream_pool(model, params):
+    """Multi-stream serving throughput: 32 live streams x 10 s through
+    StreamPool's batched, dispatch-overlapped encode (max_batch 16,
+    1 s windows), pushed round-robin in 0.5 s blocks like a live
+    frontend. Also reports the single-stream first-chunk latency
+    (algorithmic window fill excluded — the encode dispatch only)."""
+    from vrvq_tpu.infer.codec_api import CodecProcessor
+    from vrvq_tpu.infer.streaming import StreamingEncoder, StreamPool
+
+    proc = CodecProcessor(model, params)
+    seconds, n_streams = 10.0, 32
+    rng = np.random.RandomState(4)
+    clips = [rng.randn(int(seconds * SAMPLE_RATE)).astype(np.float32) * 0.1
+             for _ in range(n_streams)]
+
+    def run():
+        pool = StreamPool(proc, win_duration=1.0, level=1.0, max_batch=16)
+        for i in range(n_streams):
+            pool.add_stream(i)
+        chunks = 0
+        block = SAMPLE_RATE // 2
+        for off in range(0, int(seconds * SAMPLE_RATE), block):
+            for i, x in enumerate(clips):
+                pool.push(i, x[off: off + block])
+            chunks += len(pool.poll())
+        for i in range(n_streams):
+            pool.flush(i)
+        chunks += len(pool.poll())
+        return chunks
+
+    run()  # warmup: compiles every padded batch size the loop uses
+    t0 = time.perf_counter()
+    chunks = run()
+    dt = time.perf_counter() - t0
+    out = {
+        "stream_pool_rtf": round(n_streams * seconds / dt, 1),
+        "stream_pool_streams": n_streams,
+        "stream_pool_chunks": chunks,
+    }
+
+    warm = StreamingEncoder(proc, win_duration=1.0, level=1.0)
+    warm.push(clips[0][: warm.samples_to_first_chunk])  # compile (1,1,W)
+    enc1 = StreamingEncoder(proc, win_duration=1.0, level=1.0)
+    x = clips[1][: enc1.samples_to_first_chunk]
+    t0 = time.perf_counter()
+    got = enc1.push(x)
+    dt = time.perf_counter() - t0
+    if got:
+        out["first_chunk_encode_ms"] = round(dt * 1e3, 1)
+    return out
+
+
 def _run_phase(phase: str, timeout_s: int = 1200):
     """Run an optional bench phase in a subprocess and parse its one-line
     JSON. Isolation matters: a flaky remote compile/runtime can wedge a
@@ -281,6 +336,8 @@ def main():
             ))
         elif phase == "fused":
             print(json.dumps(bench_fused_encode(model, params)))
+        elif phase == "pool":
+            print(json.dumps(bench_stream_pool(model, params)))
         else:
             raise SystemExit(f"unknown phase {phase}")
         return
@@ -312,6 +369,7 @@ def main():
     out.update(_run_phase("b32"))
     out.update(_run_phase("train"))
     out.update(_run_phase("fused"))
+    out.update(_run_phase("pool"))
     print(json.dumps(out))
 
 

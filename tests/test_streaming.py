@@ -382,3 +382,62 @@ def test_decoder_pool_matches_single_stream(proc, tone):
 
     with pytest.raises(ValueError, match="whole chunks"):
         dp.push("a", chunks[0][1][..., :-1])
+
+
+def test_stream_pool_over_mesh(proc, tone):
+    """Serving scale-out: a CodecProcessor built over an 8-device mesh
+    shards pooled batches across the chips (params replicated, batch
+    axis data-parallel) and the pooled codes stay bit-identical to the
+    meshless pool. Decode side goes through DecoderPool on the same
+    mesh; audio matches to float rounding."""
+    from vrvq_tpu.infer.streaming import DecoderPool, StreamPool
+    from vrvq_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    mproc = CodecProcessor(proc.model, proc.params, mesh=mesh)
+
+    def run(p, max_batch):
+        pool = StreamPool(p, win_duration=0.7, level=1.0,
+                          max_batch=max_batch)
+        for i, sid in enumerate(("a", "b", "c")):
+            pool.add_stream(sid)
+            pool.push(sid, np.roll(tone, 5000 * i))
+            pool.flush(sid)
+        return pool.poll()
+
+    ref = run(proc, max_batch=4)
+    got = run(mproc, max_batch=16)  # one sharded dispatch, mesh-padded
+    assert len(got) == len(ref)
+    by_sid_ref = {}
+    for sid, codes, counts in ref:
+        by_sid_ref.setdefault(sid, []).append((codes, counts))
+    by_sid_got = {}
+    for sid, codes, counts in got:
+        by_sid_got.setdefault(sid, []).append((codes, counts))
+    assert by_sid_got.keys() == by_sid_ref.keys()
+    for sid in by_sid_ref:
+        assert len(by_sid_got[sid]) == len(by_sid_ref[sid])
+        for (gc, gn), (ec, en) in zip(by_sid_got[sid], by_sid_ref[sid]):
+            np.testing.assert_array_equal(gc, ec)
+            np.testing.assert_array_equal(gn, en)
+
+    # the staged batch really is sharded over the mesh
+    xs = np.zeros((16, 1, mproc.window_geometry(0.7)[0]), np.float32)
+    staged = mproc.put_batch(xs)
+    assert len({s.device for s in staged.addressable_shards}) == 8
+
+    dp = DecoderPool(mproc, win_duration=0.7, max_batch=16)
+    for sid, codes, counts in got:
+        dp.push(sid, codes, counts)
+    decs = {sid: StreamingDecoder(proc, win_duration=0.7)
+            for sid in by_sid_ref}
+    expected = {sid: [] for sid in by_sid_ref}
+    for sid, codes, counts in got:
+        expected[sid] += decs[sid].push(codes, counts)
+    out = {sid: [] for sid in by_sid_ref}
+    for sid, audio in dp.poll():
+        out[sid].append(audio)
+    for sid in by_sid_ref:
+        assert len(out[sid]) == len(expected[sid])
+        for g, e in zip(out[sid], expected[sid]):
+            np.testing.assert_allclose(g, e, atol=1e-5, rtol=1e-4)

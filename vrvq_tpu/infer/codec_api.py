@@ -46,11 +46,31 @@ class CodecProcessor:
     ops. Codes are identical (tested); the fused encode returns only what
     the serving path consumes ({codes, imp_map}), not the training-time
     extras (z_q_is, losses, latents).
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` scales SERVING over chips —
+    params replicate onto the mesh and :meth:`put_batch` shards the batch
+    axis, so each jitted program runs data-parallel over ICI (the batched
+    pools pad their batches to a mesh multiple; see StreamPool). The
+    single-stream/compress paths (batch 1) stay valid: put_batch falls
+    back to replication when the batch doesn't divide the mesh.
     """
 
-    def __init__(self, model, params, fused_quantizer: bool = False):
+    def __init__(self, model, params, fused_quantizer: bool = False,
+                 mesh=None):
         self.model = model
         self.model_nopad = model.clone(padding=False)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if len(mesh.axis_names) != 1:
+                raise ValueError("CodecProcessor mesh must be 1-D (data)")
+            self._axis = mesh.axis_names[0]
+            self._data_sharding = NamedSharding(mesh, P(self._axis))
+            self._repl_sharding = NamedSharding(mesh, P())
+            # replicate BEFORE building the jit closures below, which
+            # capture self.params
+            params = jax.device_put(params, self._repl_sharding)
         self.params = params
         n_q = model.n_codebooks
         # one jitted program for the VBR per-frame counts (imp_map -> counts)
@@ -138,6 +158,21 @@ class CodecProcessor:
             return {"codes": codes, "imp_map": imp_map, "counts": counts}
 
         return jax.jit(encode, static_argnums=(1,))
+
+    # ---------------------------------------------------------- staging
+    def put_batch(self, x):
+        """Stage a host batch for the jitted programs. With a mesh set
+        and a batch that divides it, the batch axis shards over the
+        mesh's data axis (XLA runs the program data-parallel over ICI);
+        otherwise the array replicates (single-device: plain transfer).
+        Uncommitted inputs elsewhere still work — jit moves them — so
+        only the batched hot paths need this."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        x = np.asarray(x)
+        if x.shape[0] % self.mesh.devices.size == 0:
+            return jax.device_put(x, self._data_sharding)
+        return jax.device_put(x, self._repl_sharding)
 
     # ---------------------------------------------------------- geometry
     def window_geometry(self, win_duration: float):
@@ -236,17 +271,24 @@ class CodecProcessor:
             padding = False
             n_samples, hop, _, delay = self.window_geometry(win_duration)
             data = np.pad(data, ((0, 0), (0, 0), (delay, delay)))
-            codes_list = []
-            counts_list = []
+            # dispatch every window first, fetch after: window i+1's
+            # encode overlaps window i's host fetch (one tunnel
+            # round-trip per fetch — see CLAUDE.md)
+            jobs = []
             for i in range(0, nt, hop):
                 x = data[..., i: i + n_samples]
                 pad = n_samples - x.shape[-1]
                 if pad > 0:
                     x = np.pad(x, ((0, 0), (0, 0), (0, pad)))
                 enc = self._encode_nopad(jnp.asarray(x), n_quantizers, lv)
-                codes_list.append(np.asarray(enc["codes"]))
-                if vbr:
-                    counts_list.append(self._vbr_counts(enc, lv))
+                jobs.append((
+                    enc["codes"],
+                    self._vbr_counts_device(enc, lv) if vbr else None,
+                ))
+            codes_list = [np.asarray(c) for c, _ in jobs]
+            counts_list = [
+                np.asarray(ct).astype(np.uint8) for _, ct in jobs
+            ] if vbr else []
             chunk_length = codes_list[0].shape[-1]
             codes = np.concatenate(codes_list, axis=-1)
             counts = np.concatenate(counts_list, axis=-1) if vbr else None
@@ -266,17 +308,18 @@ class CodecProcessor:
         """Per-frame counts: already fused into the encode program on the
         fused path; one extra jitted dispatch on the module path (whose
         encode program stays byte-identical to the cached plain one)."""
+        return np.asarray(self._vbr_counts_device(enc, level)).astype(np.uint8)
+
+    def _vbr_counts_device(self, enc, level: float):
+        """Device-side per-frame counts — no host fetch. Callers that
+        batch many windows (StreamPool/DecoderPool) dispatch every
+        window's programs first and fetch afterwards, so device compute
+        overlaps the per-fetch tunnel round-trip instead of serializing
+        with it."""
         c = enc.get("counts")
         if c is not None:
-            return np.asarray(c)
-        return self._mask_counts(enc, level)
-
-    def _mask_counts(self, enc, level: float) -> np.ndarray:
-        """(B, T) per-frame codebook counts from the importance map
-        (single jitted program — one device dispatch per window)."""
-        return np.asarray(
-            self._counts_fn(enc["imp_map"], jnp.float32(level))
-        ).astype(np.uint8)
+            return c
+        return self._counts_fn(enc["imp_map"], jnp.float32(level))
 
     # ---------------------------------------------------------- decompress
     def decompress(
@@ -294,7 +337,8 @@ class CodecProcessor:
         decode = self._decode_codes_pad if obj.padding else self._decode_codes_nopad
 
         n_q = codes.shape[1]
-        recons = []
+        # dispatch-all-then-fetch, same rationale as the compress loop
+        jobs = []
         for i in range(0, codes.shape[-1], chunk_length):
             c = codes[..., i: i + chunk_length]
             if c.shape[-1] < chunk_length:
@@ -313,10 +357,9 @@ class CodecProcessor:
                 mask = jnp.asarray(mask)
             else:
                 mask = jnp.ones((c.shape[0], n_q, chunk_length), jnp.float32)
-            r = decode(jnp.asarray(c), mask)
-            recons.append(np.asarray(r))
+            jobs.append(decode(jnp.asarray(c), mask))
 
-        audio = np.concatenate(recons, axis=-1)
+        audio = np.concatenate([np.asarray(r) for r in jobs], axis=-1)
         out = Signal(audio, model.sample_rate)
         out.normalize(obj.input_db)
         out.resample(obj.sample_rate)

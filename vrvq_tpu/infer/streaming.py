@@ -63,6 +63,19 @@ import numpy as np
 from .codec_api import CodecProcessor
 
 
+def _padded_batch(b: int, mesh=None) -> int:
+    """Pad a pool batch to the next power of two (bounds the number of
+    compiled programs to log2(max_batch)+1) and, when the processor
+    serves over a mesh, up to a mesh multiple so the batch axis shards
+    evenly across the chips."""
+    bp = 1 << (b - 1).bit_length()
+    if mesh is not None:
+        n = mesh.devices.size
+        bp = max(bp, n)
+        bp += (-bp) % n
+    return bp
+
+
 class _WindowBuffer:
     """Per-stream host state: turns an incremental sample stream into the
     windowed-spec's fixed-size windows (left delay pad, stride ``hop``,
@@ -250,18 +263,29 @@ class StreamPool:
         out = []
         pending, self._pending = self._pending, []
         lv = self.level if self.level is not None else 1.0
+        # Dispatch every batch first (jax dispatch is async), fetch after:
+        # device compute for batch i+1 overlaps the host fetch of batch i
+        # (each fetch pays a tunnel round-trip — see CLAUDE.md).
+        jobs = []
         for i in range(0, len(pending), self.max_batch):
             take = pending[i: i + self.max_batch]
-            b = len(take)
-            bp = 1 << (b - 1).bit_length()  # next power of two
+            bp = _padded_batch(len(take), self.proc.mesh)
             xs = np.zeros((bp, 1, self.window), np.float32)
             for j, (_, w) in enumerate(take):
                 xs[j, 0] = w
             enc = self.proc._encode_nopad(
-                jnp.asarray(xs), self.n_quantizers, lv
+                self.proc.put_batch(xs), self.n_quantizers, lv
             )
-            codes = np.asarray(enc["codes"])
-            counts = self.proc._vbr_counts(enc, lv) if self.vbr else None
+            counts_dev = (
+                self.proc._vbr_counts_device(enc, lv) if self.vbr else None
+            )
+            jobs.append((take, enc["codes"], counts_dev))
+        for take, codes_dev, counts_dev in jobs:
+            codes = np.asarray(codes_dev)
+            counts = (
+                np.asarray(counts_dev).astype(np.uint8)
+                if counts_dev is not None else None
+            )
             for j, (sid, _) in enumerate(take):
                 out.append((
                     sid, codes[j],
@@ -314,10 +338,11 @@ class DecoderPool:
         (hop,)), ...]`` in push order."""
         out = []
         pending, self._pending = self._pending, []
+        # Dispatch-all-then-fetch, same rationale as StreamPool.poll.
+        jobs = []
         for i in range(0, len(pending), self.max_batch):
             take = pending[i: i + self.max_batch]
-            b = len(take)
-            bp = 1 << (b - 1).bit_length()
+            bp = _padded_batch(len(take), self.proc.mesh)
             nq = take[0][1].shape[0]
             cf = self.chunk_frames
             codes = np.zeros((bp, nq, cf), np.int32)
@@ -329,9 +354,11 @@ class DecoderPool:
                                < np.asarray(cnt)[None, :])
                 else:
                     mask[j] = 1.0
-            r = np.asarray(self.proc._decode_codes_nopad(
-                jnp.asarray(codes), jnp.asarray(mask)
-            ))
+            jobs.append((take, self.proc._decode_codes_nopad(
+                self.proc.put_batch(codes), self.proc.put_batch(mask)
+            )))
+        for take, r_dev in jobs:
+            r = np.asarray(r_dev)
             for j, (sid, _, _) in enumerate(take):
                 out.append((sid, r[j, 0]))
         return out
