@@ -35,10 +35,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device_put every leaf with its batch axis sharded over the mesh."""
+    """Shard every leaf's batch axis over the mesh.
+
+    Single-host: a plain device_put of the global array. Multi-host: each
+    process passes only its LOCAL rows (the trainer's ``local_slice``
+    loader) and the global sharded array is assembled from the
+    per-process shards without any cross-host data movement — the
+    torch-DDP per-rank-sampler equivalent (reference scripts/train.py:
+    452-467), except the "gather" is purely logical."""
     sharding = batch_sharding(mesh, axis_name)
+    multihost = jax.process_count() > 1
 
     def put(x):
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -17,7 +17,7 @@ import dataclasses
 import queue
 import threading
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterator, List, Optional
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,7 @@ def _batch_iterator(
     num_workers: int = 4,
     prefetch: int = 2,
     prepare: Optional[Callable[[Dict], Any]] = None,
+    local_slice: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Dict]:
     """Infinite prefetching batch iterator (deterministic by global idx —
     the reference's resumable sampler equivalent).
@@ -96,7 +97,14 @@ def _batch_iterator(
     ``prepare`` runs in the producer thread on each collated batch and its
     result is stored under ``batch["prepared_audio"]`` — the trainer uses
     it to apply the (host-side) transform chain OVERLAPPED with the device
-    step instead of serially in the train loop."""
+    step instead of serially in the train loop.
+
+    ``local_slice=(lo, hi)``: multi-host data sharding — ``batch_size``
+    stays the GLOBAL batch (the step/idx arithmetic every process agrees
+    on, so resume is host-count-independent), but this process only loads
+    and collates rows [lo, hi) of each global batch. The equivalent of
+    the reference's per-rank distributed sampler
+    (audiotools Accelerator, scripts/train.py:452-467)."""
     from concurrent.futures import ThreadPoolExecutor
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -109,6 +117,8 @@ def _batch_iterator(
                 indices = [
                     (idx + i) % max(len(dataset), 1) for i in range(batch_size)
                 ]
+                if local_slice is not None:
+                    indices = indices[local_slice[0]: local_slice[1]]
                 items = list(pool.map(dataset.__getitem__, indices))
                 batch = dataset.collate(items)
                 if prepare is not None:
@@ -389,10 +399,24 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
                 t.audio_data if isinstance(t, Signal) else t
             )
 
+    local_slice = None
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # multi-host: this process loads rows [rank*per, (rank+1)*per) of
+        # every global batch; shard_batch assembles the global array from
+        # the per-process shards (parallel/mesh.py)
+        if batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over "
+                f"{n_proc} processes"
+            )
+        per = batch_size // n_proc
+        local_slice = (rank * per, (rank + 1) * per)
+
     loader = _batch_iterator(
         state.train_data, batch_size,
         start_idx=tracker.step * batch_size, num_workers=num_workers,
-        prepare=prepare,
+        prepare=prepare, local_slice=local_slice,
     )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
