@@ -116,3 +116,49 @@ def test_cbr_model_parity():
     np.testing.assert_array_equal(
         np.asarray(jout["codes"]), tout["codes"].numpy()
     )
+
+
+def test_export_torch_roundtrip_and_reference_load(pair):
+    """JAX -> torch export: a fresh random JAX init exports to the
+    reference state_dict layout, (a) round-trips bit-exactly through the
+    importer, and (b) loads into the torch oracle (strict) and produces
+    bit-identical codes — so models trained here run in the reference
+    ecosystem."""
+    from vrvq_tpu.train.checkpoint import export_torch_state_dict
+
+    _, jmodel, _ = pair
+    rngs = {"params": jax.random.PRNGKey(3), "vbr": jax.random.PRNGKey(4),
+            "vbr_dropout": jax.random.PRNGKey(5)}
+    params = jmodel.init(rngs, jnp.zeros((1, 1, 4096)), level=1.0)
+
+    sd = export_torch_state_dict(params)
+
+    # (a) bit-exact round trip through the importer
+    back = convert_torch_state_dict(sd, CFG["n_codebooks"], "VBR")
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path)
+        )
+
+    # (b) the torch reference architecture loads it strictly and agrees
+    tmodel = TorchRefModel(vbr=True, **CFG).eval()
+    renamed = {}
+    for k, v in sd.items():
+        for pre in ("quantizer.quantizers.", "quantizer.imp_subnet."):
+            if k.startswith(pre):
+                k = k[len("quantizer."):]
+                break
+        renamed[k] = torch.tensor(v)
+    tmodel.load_state_dict(renamed, strict=True)
+
+    rng = np.random.RandomState(11)
+    audio = (rng.randn(2, 1, 8192) * 0.2).astype(np.float32)
+    with torch.no_grad():
+        t_codes = tmodel.encode(torch.tensor(audio))["codes"].numpy()
+    j_codes = np.asarray(jmodel.apply(
+        params, jnp.asarray(audio), level=1.0, method=DAC_VRVQ.encode
+    )["codes"])
+    assert (t_codes == j_codes).all()

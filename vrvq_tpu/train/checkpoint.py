@@ -215,6 +215,107 @@ def convert_torch_state_dict(
     return {"params": params}
 
 
+def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: our DAC_VRVQ param
+    pytree -> a reference-layout torch ``state_dict`` (numpy leaves), so
+    models trained here can be loaded by the PyTorch reference
+    (``model.load_state_dict`` after ``torch.tensor``-wrapping, layout of
+    models/dac_vrvq.py:19-80 + models/quantize.py + importance_subnet.py).
+
+    Topology is read off the pytree (block_*/res*/quantizers_*/imp_subnet
+    presence), so any encoder/decoder rate count and subnet depth exports.
+    Round-trips bit-exactly through convert_torch_state_dict (tested).
+    Folded fast-inference params (nn/fold.py, leaves named ``w``) carry no
+    weight-norm split and cannot be exported — export the live params.
+    """
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(prefix, node, transpose=False, dense=False):
+        if "v" not in node:
+            raise ValueError(
+                f"{prefix}: no weight-norm 'v' leaf (folded fast-inference "
+                "params cannot be exported; use the live training params)"
+            )
+        v = np.asarray(node["v"])
+        g = np.asarray(node["g"])
+        if dense:
+            sd[f"{prefix}.weight_v"] = v.T[:, :, None]     # (in,out)->(out,in,1)
+        elif transpose:
+            sd[f"{prefix}.weight_v"] = v                   # (in,out,k) stays
+        else:
+            sd[f"{prefix}.weight_v"] = np.transpose(v, (2, 1, 0))
+        sd[f"{prefix}.weight_g"] = g.reshape(-1, 1, 1)
+        if "bias" in node:
+            sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    def snake(prefix, node):
+        sd[f"{prefix}.alpha"] = np.asarray(node["alpha"]).reshape(1, -1, 1)
+
+    def res_unit(prefix, node):
+        snake(f"{prefix}.block.0", node["snake1"])
+        conv(f"{prefix}.block.1", node["conv1"])
+        snake(f"{prefix}.block.2", node["snake2"])
+        conv(f"{prefix}.block.3", node["conv2"])
+
+    def child_ids(node, prefix):
+        return sorted(
+            int(k[len(prefix):]) for k in node if k.startswith(prefix)
+        )
+
+    enc = p["encoder"]
+    conv("encoder.block.0", enc["in_conv"])
+    enc_blocks = child_ids(enc, "block_")
+    for n in enc_blocks:
+        node = enc[f"block_{n}"]
+        blk = f"encoder.block.{n + 1}.block"
+        res = child_ids(node, "res")
+        for r in res:
+            res_unit(f"{blk}.{r}", node[f"res{r}"])
+        snake(f"{blk}.{len(res)}", node["snake"])
+        conv(f"{blk}.{len(res) + 1}", node["down"])
+    snake(f"encoder.block.{len(enc_blocks) + 1}", enc["snake"])
+    conv(f"encoder.block.{len(enc_blocks) + 2}", enc["out_conv"])
+
+    q = p["quantizer"]
+    for i in child_ids(q, "quantizers_"):
+        node = q[f"quantizers_{i}"]
+        base = f"quantizer.quantizers.{i}"
+        conv(f"{base}.in_proj", node["in_proj"], dense=True)
+        conv(f"{base}.out_proj", node["out_proj"], dense=True)
+        sd[f"{base}.codebook.weight"] = np.asarray(node["codebook"])
+    if "imp_subnet" in q:
+        node = q["imp_subnet"]
+        snake("quantizer.imp_subnet.in_block.0", node["in_snake"])
+        conv("quantizer.imp_subnet.in_block.1", node["in_conv"])
+        for i in child_ids(node, "snake_"):
+            snake(f"quantizer.imp_subnet.blocks.{i}.0", node[f"snake_{i}"])
+            conv(f"quantizer.imp_subnet.blocks.{i}.1", node[f"conv_{i}"])
+
+    dec = p["decoder"]
+    conv("decoder.model.0", dec["in_conv"])
+    dec_blocks = child_ids(dec, "block_")
+    for n in dec_blocks:
+        node = dec[f"block_{n}"]
+        blk = f"decoder.model.{n + 1}.block"
+        snake(f"{blk}.0", node["snake"])
+        conv(f"{blk}.1", node["up"], transpose=True)
+        for r in child_ids(node, "res"):
+            res_unit(f"{blk}.{r + 2}", node[f"res{r}"])
+    snake(f"decoder.model.{len(dec_blocks) + 1}", dec["snake"])
+    conv(f"decoder.model.{len(dec_blocks) + 2}", dec["out_conv"])
+    return sd
+
+
+def save_torch_checkpoint(params: Dict[str, Any], path) -> None:
+    """Write a reference-loadable ``weights.pth`` (``{"state_dict": ...}``
+    of torch tensors, the layout scripts/inference.py:44-48 loads)."""
+    import torch
+
+    sd = {k: torch.tensor(v) for k, v in export_torch_state_dict(params).items()}
+    torch.save({"state_dict": sd}, path)
+
+
 def load_torch_checkpoint(path, n_codebooks: Optional[int] = None,
                           model_type: Optional[str] = None):
     """Load a reference ``weights.pth`` and convert to our pytree."""
