@@ -177,6 +177,55 @@ def test_inference_cli(env):
         assert "sisdr" in v and "kbps" in v
 
 
+def test_evaluate_cli(env):
+    """scripts/evaluate.py: full metric menu per level + codebook entropy
+    over a directory, via subprocess against the trained checkpoint."""
+    import os
+    import subprocess
+    import sys
+    import yaml
+
+    root, data, cfg = env
+    save_path = Path(str(root / "ckpt"))
+    if not (save_path / "latest" / "state").exists():
+        pytest.skip("training test must run first")
+
+    cfg_dict = {k: v for k, v in cfg.to_dict().items()
+                if not k.startswith(("train/", "val/"))}
+    cfg_path = root / "tiny_eval.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    repo = Path(__file__).resolve().parents[1]
+    env_vars = dict(os.environ)
+    env_vars["JAX_PLATFORMS"] = "cpu"
+    out_json = root / "eval.json"
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "evaluate.py"),
+         "--args.load", str(cfg_path),
+         "--ckpt_dir", str(save_path),
+         "--tag", "latest",
+         "--data_dir", str(data),
+         "--levels", "0.5,2",
+         "--num_examples", "2",
+         "--duration", "0.2",
+         "--out", str(out_json)],
+        capture_output=True, text=True, env=env_vars, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out_json.read_text())
+    assert report["num_examples"] == 2
+    assert len(report["levels"]) == 2
+    n_q = cfg["DAC_VRVQ.n_codebooks"]
+    for stats in report["levels"].values():
+        for m in ("SI-SDR", "SDR", "SI-SNR", "SNR", "L1", "mel", "stft"):
+            assert np.isfinite(stats[m]["mean"]), (m, stats)
+        assert 0 < stats["bpf"]
+        assert 0 < stats["kbps"]
+    assert len(report["codebook_entropy_bits"]) == n_q
+    assert all(0 <= p <= 1 for p in report["codebook_usage_pct"])
+
+
 def test_batch_iterator_propagates_producer_errors():
     """A transform/IO error in the prefetch producer thread must abort
     the consumer (re-raised from q.get()), not hang it forever."""
@@ -204,3 +253,38 @@ def test_batch_iterator_propagates_producer_errors():
     it2 = _batch_iterator(DS(), batch_size=2, prepare=lambda b: sum(b["xs"]))
     batch = next(it2)
     assert batch["prepared_audio"] == batch["xs"][0] + batch["xs"][1]
+
+
+def test_batch_iterator_local_slice_partitions_global_batch():
+    """Multi-host data sharding: with batch_size the GLOBAL batch, each
+    process's local_slice loads a disjoint row range of every batch and
+    the idx arithmetic (resume position) stays host-count-independent."""
+    from vrvq_tpu.train.trainer import _batch_iterator
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+        @staticmethod
+        def collate(items):
+            return {"xs": [it["x"] for it in items]}
+
+    # a 2-process world, global batch 8
+    shards = [
+        _batch_iterator(DS(), batch_size=8, local_slice=(0, 4)),
+        _batch_iterator(DS(), batch_size=8, local_slice=(4, 8)),
+    ]
+    full = _batch_iterator(DS(), batch_size=8)
+    for _ in range(3):  # wraps the 10-item dataset
+        want = next(full)["xs"]
+        got = next(shards[0])["xs"] + next(shards[1])["xs"]
+        assert got == want
+
+    # resume parity: starting at step 2 (start_idx 16) sees the same rows
+    resumed = _batch_iterator(DS(), batch_size=8, start_idx=16,
+                              local_slice=(0, 4))
+    fresh = _batch_iterator(DS(), batch_size=8, start_idx=16)
+    assert next(resumed)["xs"] == next(fresh)["xs"][:4]

@@ -63,6 +63,7 @@ class LevelSweep:
         audio: jnp.ndarray,
         levels: Sequence[float] = tuple(DEFAULT_LEVELS),
         batched: bool = False,
+        enc: Optional[Dict] = None,
     ) -> Dict[float, Dict]:
         """Full sweep; returns {level: {audio, mask, kbps, bpf}}.
 
@@ -72,12 +73,17 @@ class LevelSweep:
         bits-per-frame in-graph, so the whole sweep costs one decoder
         launch and one scalar fetch. Measured 1.5x for the 12-level sweep
         at B=1 x 10 s on v5e: 1019 ms vs 1547 ms (BASELINE.md).
+
+        Pass ``enc`` (a previous :meth:`encode` result) to reuse the
+        encoder work — e.g. when the caller also needs the raw codes
+        (scripts/evaluate.py's codebook-usage report).
         """
         sr = self.model.sample_rate
         hop = self.model.hop_length
         n_q = self.model.n_codebooks
         bits = [int(math.log2(self.model.codebook_size))] * n_q
-        enc = self.encode(audio)
+        if enc is None:
+            enc = self.encode(audio)
         out = {}
         if batched:
             recons, masks, bpfs = self._decode_levels_batched(
@@ -174,7 +180,9 @@ def save_results(
     n_q = model.n_codebooks
     sweeper = LevelSweep(model, params)
     input_tensor = model.preprocess(jnp.asarray(input_tensor), sr)
-    results = sweeper.sweep(input_tensor, level_list)
+    # batched=True: all levels in one decoder launch (1.5x on v5e;
+    # auto-windows past the one-shot HBM limit)
+    results = sweeper.sweep(input_tensor, level_list, batched=True)
 
     metadata = {}
     for level, r in results.items():
