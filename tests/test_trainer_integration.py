@@ -73,7 +73,8 @@ def env(tmp_path_factory):
         "build_transform.augment": ["Identity"],
         "build_transform.postprocess": ["RescaleAudio"],
         "batch_size": 4,
-        "val_batch_size": 2,
+        # divides the 4-device data mesh -> exercises sharded validation
+        "val_batch_size": 4,
         "num_iters": 3,
         "valid_freq": 2,
         "sample_freq": 1000,

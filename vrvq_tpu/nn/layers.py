@@ -209,8 +209,9 @@ class Snake1d(nn.Module):
 
     channels: int
     # Polynomial sin^2 (ops/snake.snake_approx): ~6x faster on v5e (snake is
-    # sin()-bound), |error| <= 4.5e-6. Decode-path only — NEVER in the
-    # encode->codes path (not bit-identical to the exact snake).
+    # sin()-bound), |error| <= 2.6e-7 (within ~2x of f32 sin's own
+    # rounding). Decoder default in the fast path; encoder opt-in only,
+    # since it is not structurally bit-identical to the exact snake.
     approx: bool = False
 
     @nn.compact

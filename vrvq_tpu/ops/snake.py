@@ -68,34 +68,43 @@ def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
 # Measured on v5e (b8 x (441344, 96)): jnp.sin costs 9.6 ms per snake while
 # the identical op without the transcendental is 0.8 ms (= memory floor) —
 # the decoder is sin()-bound, not conv- or HBM-bound. The polynomial below
-# replaces sin^2 with an exact period-pi range reduction plus a degree-4
-# least-squares fit in r^2 (max abs error 4.5e-6 — three orders of magnitude
-# below bf16 rounding), turning snake back into a ~memory-bound VPU chain.
-_PI = 3.14159265358979323846
-_INV_PI = 1.0 / _PI
-# sin^2(r) ~= s * (C0 + s*(C1 + s*(C2 + s*(C3 + s*C4)))), s = r^2,
-# r in [-pi/2, pi/2]; fitted over 20k points (see repo history).
-_SIN2_C0 = 9.99999537e-01
-_SIN2_C1 = -3.33322958e-01
-_SIN2_C2 = 4.44076862e-02
-_SIN2_C3 = -3.12925887e-03
-_SIN2_C4 = 1.18124696e-04
+# replaces sin^2 with a Cody-Waite period-pi range reduction plus a
+# degree-6 Chebyshev-node least-squares fit in r^2 (pipeline max abs error
+# 2.6e-7 in f32 over |alpha*x| <= 40 — within ~2x of f32 jnp.sin's own
+# rounding, and the fit itself is 2.6e-10 in f64), turning snake back into
+# a ~memory-bound VPU chain.
+_INV_PI = 1.0 / 3.14159265358979323846
+# pi split for Cody-Waite: PI_HI exact in f32, PI_LO the f32 remainder —
+# r = (u - k*PI_HI) - k*PI_LO keeps the reduction exact for the k (tens)
+# these activations reach, where single-constant pi loses ~1e-6.
+_PI_HI = 3.140625
+_PI_LO = 9.67653589793e-04
+# sin^2(r) ~= s * P(s), s = r^2, r in [-pi/2, pi/2], P degree 6
+_SIN2_C = (
+    1.000000000e+00, -3.333333305e-01, 4.444442364e-02, -3.174549052e-03,
+    1.410278879e-04, -4.235064360e-06, 8.151456250e-08,
+)
 
 
 def snake_approx(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """Snake with polynomial sin^2 (decode-path fast mode).
+    """Snake with polynomial sin^2 (fast mode).
 
-    Not bit-identical to :func:`snake_reference` (|sin^2 error| <= 4.5e-6),
-    so it must never be used in the encode->codes path; the inference
-    wrapper enables it for the decoder only (infer/fast.py).
+    Not structurally bit-identical to :func:`snake_reference` (|sin^2
+    error| <= 2.6e-7 — comparable to f32 sin's own rounding), so the
+    encode->codes path keeps exact sin by default; the inference wrapper
+    enables it for the decoder (infer/fast.py), with the encoder side an
+    explicit opt-in (``encode_snake_approx``).
     """
     f32 = jnp.float32
     xf = x.astype(f32)
     af = alpha.astype(f32)
     u = af * xf
-    # exact period-pi reduction: r = u - pi*round(u/pi) in [-pi/2, pi/2]
-    r = u - _PI * jnp.round(u * _INV_PI)
+    # Cody-Waite period-pi reduction: r in [-pi/2, pi/2]
+    k = jnp.round(u * _INV_PI)
+    r = (u - k * _PI_HI) - k * _PI_LO
     s = r * r
-    sin2 = s * (_SIN2_C0 + s * (_SIN2_C1 + s * (
-        _SIN2_C2 + s * (_SIN2_C3 + s * _SIN2_C4))))
+    acc = jnp.asarray(_SIN2_C[-1], f32)
+    for c in _SIN2_C[-2::-1]:
+        acc = acc * s + c
+    sin2 = s * acc
     return (xf + sin2 * (1.0 / (af + 1e-9))).astype(x.dtype)

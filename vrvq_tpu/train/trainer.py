@@ -315,6 +315,11 @@ def validate(state: State, batch_size: int,
             transformed.audio_data if isinstance(transformed, Signal)
             else transformed
         )
+        # data-parallel validation when the batch divides the mesh
+        # (ragged final batches just run replicated)
+        if (state.mesh.devices.size > 1
+                and audio.shape[0] % state.mesh.devices.size == 0):
+            audio = shard_batch(audio, state.mesh)
         out = state.val_step(state.train_state.gen_params, audio)
         results.append({k: float(v) for k, v in out.items()})
         state.tracker.log_metrics("val", results[-1])
