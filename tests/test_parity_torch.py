@@ -162,3 +162,45 @@ def test_export_torch_roundtrip_and_reference_load(pair):
         params, jnp.asarray(audio), level=1.0, method=DAC_VRVQ.encode
     )["codes"])
     assert (t_codes == j_codes).all()
+
+
+def test_moe_router_conversion_parity():
+    """DAC_MOE checkpoint conversion: the router Linear imports (and
+    round-trips through export) with bit-exact codes and matching
+    importance scores vs a torch oracle carrying the reference's router
+    layout (models/dac_moe.py:50,96-99)."""
+    from vrvq_tpu.models import DAC_MOE
+    from vrvq_tpu.train.checkpoint import export_torch_state_dict
+
+    torch.manual_seed(1)
+    tmodel = TorchRefModel(vbr=True, moe=True, **CFG).eval()
+    sd = tmodel.state_dict_reference_layout()
+    assert "quantizer.router.weight" in sd
+    params = convert_torch_state_dict(sd)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    jmodel = DAC_MOE(
+        encoder_dim=CFG["encoder_dim"], encoder_rates=CFG["strides"],
+        decoder_dim=CFG["decoder_dim"], decoder_rates=CFG["rates"],
+        n_codebooks=CFG["n_codebooks"], codebook_size=CFG["codebook_size"],
+        codebook_dim=CFG["codebook_dim"], model_type="VBR",
+    )
+    rng = np.random.RandomState(21)
+    audio = (rng.randn(2, 1, 8192) * 0.2).astype(np.float32)
+    tout = tmodel.encode(torch.tensor(audio))
+    jout = jmodel.apply(params, jnp.asarray(audio), level=1.0,
+                        method=DAC_MOE.encode)
+    assert (tout["codes"].numpy() == np.asarray(jout["codes"])).all()
+    np.testing.assert_allclose(
+        np.asarray(jout["imp_map"]), tout["imp_map"].numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # export round-trips the router bit-exactly
+    back = convert_torch_state_dict(export_torch_state_dict(params))
+    r_a = params["params"]["quantizer"]["router"]
+    r_b = back["params"]["quantizer"]["router"]
+    np.testing.assert_array_equal(np.asarray(r_a["kernel"]),
+                                  np.asarray(r_b["kernel"]))
+    np.testing.assert_array_equal(np.asarray(r_a["bias"]),
+                                  np.asarray(r_b["bias"]))

@@ -176,7 +176,8 @@ class TorchRefModel(nn.Module):
 
     def __init__(self, encoder_dim=16, strides=(2, 4, 8, 8), latent_dim=None,
                  decoder_dim=128, rates=(8, 8, 4, 2),
-                 n_codebooks=4, codebook_size=64, codebook_dim=4, vbr=True):
+                 n_codebooks=4, codebook_size=64, codebook_dim=4, vbr=True,
+                 moe=False):
         super().__init__()
         latent_dim = latent_dim or encoder_dim * 2 ** len(strides)
         self.encoder = Encoder(encoder_dim, strides, latent_dim)
@@ -185,8 +186,12 @@ class TorchRefModel(nn.Module):
             for _ in range(n_codebooks)
         ])
         self.imp_subnet = (
-            ImportanceSubnet(latent_dim, latent_dim) if vbr else None
+            ImportanceSubnet(latent_dim, latent_dim) if (vbr and not moe)
+            else None
         )
+        # DAC_MOE's per-frame router over (B, T, D) feat
+        # (reference models/dac_moe.py:50,96-99)
+        self.router = nn.Linear(latent_dim, n_codebooks) if moe else None
         self.decoder = Decoder(latent_dim, decoder_dim, rates)
         self.n_codebooks = n_codebooks
 
@@ -202,7 +207,12 @@ class TorchRefModel(nn.Module):
             z_q = z_q + z_q_i
             codes.append(idx)
             z_q_is.append(z_q_i)
-        imp = self.imp_subnet(feat) if self.imp_subnet is not None else None
+        if self.router is not None:
+            imp = self.router(feat.transpose(1, 2)).transpose(1, 2)
+        elif self.imp_subnet is not None:
+            imp = self.imp_subnet(feat)
+        else:
+            imp = None
         return {
             "z_q": z_q,
             "codes": torch.stack(codes, 1),
@@ -215,9 +225,7 @@ class TorchRefModel(nn.Module):
         (quantizer.quantizers.{i}.*, quantizer.imp_subnet.*)."""
         sd = {}
         for k, v in self.state_dict().items():
-            if k.startswith("quantizers."):
-                k = "quantizer." + k
-            elif k.startswith("imp_subnet."):
+            if k.startswith(("quantizers.", "imp_subnet.", "router.")):
                 k = "quantizer." + k
             sd[k] = v.detach().numpy()
         return sd

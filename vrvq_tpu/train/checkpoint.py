@@ -178,9 +178,20 @@ def convert_torch_state_dict(
         conv(base + ["out_proj"], f"{q}.out_proj", dense=True)
         put(base + ["codebook"], state_dict[f"{q}.codebook.weight"])
 
+    # ---- MOE router (DAC_MOE: per-frame Linear over feat_enc,
+    # reference models/dac_moe.py:50,96-99; torch Linear weight
+    # (nq, in) -> flax Dense kernel (in, nq))
+    moe = "quantizer.router.weight" in keys
+    if moe:
+        put(["quantizer", "router", "kernel"],
+            np.asarray(state_dict["quantizer.router.weight"]).T)
+        if "quantizer.router.bias" in keys:
+            put(["quantizer", "router", "bias"],
+                state_dict["quantizer.router.bias"])
+
     # ---- importance subnet (VBR only; models/importance_subnet.py:18-34)
     vbr = any(k.startswith("quantizer.imp_subnet.") for k in keys)
-    if model_type is not None and (model_type == "VBR") != vbr:
+    if model_type is not None and not moe and (model_type == "VBR") != vbr:
         raise ValueError(
             f"caller said model_type={model_type} but imp_subnet keys "
             f"{'present' if vbr else 'absent'}"
@@ -291,6 +302,10 @@ def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         for i in child_ids(node, "snake_"):
             snake(f"quantizer.imp_subnet.blocks.{i}.0", node[f"snake_{i}"])
             conv(f"quantizer.imp_subnet.blocks.{i}.1", node[f"conv_{i}"])
+    if "router" in q:  # DAC_MOE: flax Dense kernel (in, nq) -> Linear (nq, in)
+        sd["quantizer.router.weight"] = np.asarray(q["router"]["kernel"]).T
+        if "bias" in q["router"]:
+            sd["quantizer.router.bias"] = np.asarray(q["router"]["bias"])
 
     dec = p["decoder"]
     conv("decoder.model.0", dec["in_conv"])
