@@ -289,3 +289,43 @@ def test_batch_iterator_local_slice_partitions_global_batch():
                               local_slice=(0, 4))
     fresh = _batch_iterator(DS(), batch_size=8, start_idx=16)
     assert next(resumed)["xs"] == next(fresh)["xs"][:4]
+
+
+def test_export_torch_cli(env):
+    """scripts/export_torch.py writes a reference-layout weights.pth from
+    a trained checkpoint, and the torch importer accepts it."""
+    import os
+    import subprocess
+    import sys
+    import yaml
+
+    root, data, cfg = env
+    save_path = Path(str(root / "ckpt"))
+    if not (save_path / "latest" / "state").exists():
+        pytest.skip("training test must run first")
+
+    cfg_dict = {k: v for k, v in cfg.to_dict().items()
+                if not k.startswith(("train/", "val/"))}
+    cfg_path = root / "tiny_export.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    repo = Path(__file__).resolve().parents[1]
+    env_vars = dict(os.environ)
+    env_vars["JAX_PLATFORMS"] = "cpu"
+    out_pth = root / "weights.pth"
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "export_torch.py"),
+         "--args.load", str(cfg_path),
+         "--ckpt_dir", str(save_path),
+         "--tag", "latest",
+         "--out", str(out_pth)],
+        capture_output=True, text=True, env=env_vars, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    from vrvq_tpu.train.checkpoint import load_torch_checkpoint
+
+    params = load_torch_checkpoint(
+        out_pth, cfg["DAC_VRVQ.n_codebooks"], "VBR"
+    )
+    assert "encoder" in params["params"] and "decoder" in params["params"]
