@@ -17,8 +17,7 @@ import torch
 REFERENCE_ROOT = Path("/root/reference")
 
 
-def import_reference_dac():
-    """Return the reference ``models.dac_vrvq`` module (genuine source)."""
+def _install_stubs():
     if "torchmetrics" not in sys.modules:
         sys.modules["torchmetrics"] = types.ModuleType("torchmetrics")
     if "audiotools" not in sys.modules:
@@ -32,7 +31,21 @@ def import_reference_dac():
         sys.modules["audiotools.ml"] = at_ml
     if str(REFERENCE_ROOT) not in sys.path:
         sys.path.insert(0, str(REFERENCE_ROOT))
+
+
+def import_reference_dac():
+    """Return the reference ``models.dac_vrvq`` module (genuine source)."""
+    _install_stubs()
     import models.dac_vrvq as ref_dac  # namespace pkg under /root/reference
 
     assert Path(ref_dac.__file__).resolve().is_relative_to(REFERENCE_ROOT)
     return ref_dac
+
+
+def import_reference_moe():
+    """Return the reference ``models.dac_moe`` module (genuine source)."""
+    _install_stubs()
+    import models.dac_moe as ref_moe
+
+    assert Path(ref_moe.__file__).resolve().is_relative_to(REFERENCE_ROOT)
+    return ref_moe
