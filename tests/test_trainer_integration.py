@@ -135,6 +135,51 @@ def test_train_checkpoint_resume_infer(env):
         assert np.isfinite(v["sisdr"]) and v["kbps"] > 0
 
 
+def test_resume_is_bit_exact(env):
+    """Interrupted-and-resumed training reproduces the uninterrupted run
+    EXACTLY: per-step keys are fold_in(seed, step), the dataloader resumes
+    at step*batch_size, and orbax restores both optimizer states — so
+    every leaf of the final train state must match bit-for-bit."""
+    from vrvq_tpu.train.trainer import train
+    from vrvq_tpu.train import checkpoint as ckpt
+    from vrvq_tpu.train.loop import init_train_state
+    from vrvq_tpu.train.state import make_optimizer
+    from vrvq_tpu.models import DAC_VRVQ, Discriminator
+    import jax.numpy as jnp
+
+    root, data, base_cfg = env
+
+    def run(save_path, iters_list):
+        cfg = Config(dict(base_cfg.to_dict()))
+        cfg["valid_freq"] = 100  # only the last-iter checkpoint matters
+        cfg["sample_freq"] = 1000
+        cfg["val_idx"] = []  # skip TB sample sweeps (one less compile/run)
+        for i, n in enumerate(iters_list):
+            cfg["num_iters"] = n
+            cfg["resume"] = i > 0
+            train(cfg, save_path=str(save_path))
+        return str(save_path)
+
+    path_a = run(root / "ckpt_straight", [3])
+    path_b = run(root / "ckpt_resumed", [1, 3])
+
+    cfg = Config(dict(base_cfg.to_dict()))
+    gen = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
+    disc = Discriminator(**cfg.kwargs("Discriminator"))
+    abstract = init_train_state(gen, disc, make_optimizer(max_grad_norm=1e3),
+                                make_optimizer(max_grad_norm=10.0),
+                                jnp.zeros((1, 1, 2048)))
+    state_a = ckpt.load_checkpoint(path_a, abstract, "latest")
+    state_b = ckpt.load_checkpoint(path_b, abstract, "latest")
+    assert int(state_a.step) == int(state_b.step) == 3
+
+    leaves_a, treedef_a = jax.tree_util.tree_flatten(state_a)
+    leaves_b, treedef_b = jax.tree_util.tree_flatten(state_b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_inference_cli(env):
     """scripts/inference.py end-to-end via subprocess against the trained
     checkpoint (reference: scripts/inference.py:26-122 CLI)."""

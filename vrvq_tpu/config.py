@@ -56,7 +56,10 @@ class Config:
         reference's ``conf/...`` relative includes), falling back to the
         including file's directory.
         """
-        values = cls._load_file(Path(path), base_dir)
+        p = Path(path)
+        if not p.exists() and base_dir is not None and not p.is_absolute():
+            p = Path(base_dir) / p  # allow repo-relative paths from any cwd
+        values = cls._load_file(p, base_dir)
         if overrides:
             values.update(overrides)
         return cls(values)

@@ -329,7 +329,7 @@ def validate(state: State, batch_size: int,
 def save_samples(state: State, val_idx: List[int], writer) -> None:
     """Audio + importance-map images to TensorBoard
     (reference: scripts/train.py:369-404)."""
-    if writer is None:
+    if writer is None or not val_idx:
         return
     items = [state.val_data[i] for i in val_idx]
     batch = state.val_data.collate(items)
@@ -424,6 +424,9 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
         prepare=prepare, local_slice=local_slice,
     )
 
+    # Per-step key derived from (seed, step) — not split sequentially from
+    # the run start — so a resumed run replays the exact key stream of an
+    # uninterrupted one (bit-exact resume; tests/test_trainer_integration).
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     first = True
     for step, batch in enumerate(loader, start=tracker.step):
@@ -433,7 +436,7 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
                           "(full-size remote compiles can take minutes)...")
             first = False
         audio = _prepare_signal(state, batch)
-        rng, sub = jax.random.split(rng)
+        sub = jax.random.fold_in(rng, step)
         state.train_state, metrics = state.train_step(
             state.train_state, audio, sub
         )
