@@ -13,6 +13,7 @@ from collections import defaultdict
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
 
+import jax
 import numpy as np
 
 
@@ -48,10 +49,12 @@ class Tracker:
     def log_metrics(self, phase: str, metrics: Dict[str, Any],
                     step: Optional[int] = None) -> None:
         step = self.step if step is None else step
-        scalars = {
-            k: float(v) for k, v in metrics.items()
-            if v is not None and np.ndim(v) == 0
-        }
+        kept = {k: v for k, v in metrics.items()
+                if v is not None and np.ndim(v) == 0}
+        # one transfer for the whole dict — per-scalar float() would pay a
+        # tunnel round-trip per metric on the remote TPU platform
+        kept = jax.device_get(kept)
+        scalars = {k: float(v) for k, v in kept.items()}
         for k, v in scalars.items():
             self._phase_sums[phase][k] += v
         self._phase_counts[phase] += 1

@@ -30,6 +30,7 @@ from ..data.transforms import apply_on_host, build_transform
 from ..losses import L1Loss, MelSpectrogramLoss, MultiScaleSTFTLoss
 from ..models import DAC_VRVQ, Discriminator
 from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils import PhaseTimer
 from . import checkpoint as ckpt
 from .loop import init_train_state, make_train_step, make_val_step
 from .state import TrainState, make_optimizer
@@ -429,18 +430,25 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
     # uninterrupted one (bit-exact resume; tests/test_trainer_integration).
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     first = True
+    timer = PhaseTimer()
     for step, batch in enumerate(loader, start=tracker.step):
         tracker.step = step
         if first:
             tracker.print("Compiling + running first train step "
                           "(full-size remote compiles can take minutes)...")
             first = False
+        timer.mark("data")
         audio = _prepare_signal(state, batch)
         sub = jax.random.fold_in(rng, step)
+        timer.mark("h2d")
         state.train_state, metrics = state.train_step(
             state.train_state, audio, sub
         )
+        timer.mark("dispatch")
         tracker.log_metrics("train", metrics)
+        timer.mark("log")
+        if step % tracker.log_every == 0 and step > 0:
+            tracker.print(f"[timing] step {step}: {timer.report()}")
 
         last_iter = step == num_iters - 1
         if step % sample_freq == 0 or last_iter:

@@ -54,6 +54,35 @@ def annotate(name: str) -> Iterator[None]:
         yield
 
 
+class PhaseTimer:
+    """Per-phase wall-clock accounting for a loop: ``mark(name)`` charges
+    the time since the previous mark to ``name``; ``report()`` returns the
+    mean ms per phase since the last report and resets. Used by the
+    trainer to split a step into data-wait / h2d / dispatch / log
+    (the reference's @timer decorator equivalent, scripts/train.py:231)."""
+
+    def __init__(self):
+        self._sums: dict = {}
+        self._counts: dict = {}
+        self._t = time.perf_counter()
+
+    def mark(self, name: str) -> None:
+        now = time.perf_counter()
+        self._sums[name] = self._sums.get(name, 0.0) + (now - self._t)
+        self._counts[name] = self._counts.get(name, 0) + 1
+        self._t = now
+
+    def report(self) -> str:
+        parts = [
+            f"{k}={1000.0 * self._sums[k] / max(self._counts[k], 1):.0f}ms"
+            for k in self._sums
+        ]
+        self._sums.clear()
+        self._counts.clear()
+        self._t = time.perf_counter()
+        return " ".join(parts)
+
+
 class StepTimer:
     """Rolling wall-clock timer for the hot loop; forces device sync via a
     caller-provided fetch (block_until_ready does not synchronize through
