@@ -1,0 +1,158 @@
+"""TRUE multi-process training: two jax.distributed processes (Gloo over
+CPU, 2 fake devices each -> a 4-device global data mesh) drive the real
+trainer end-to-end.
+
+This is the torchrun-equivalent path the reference exercises only by
+actually launching torch.distributed.run (scripts/script_train.sh:33) —
+here it runs hermetically in CI: per-process global-batch slices
+(trainer local_slice), shard assembly via
+jax.make_array_from_process_local_data (parallel/mesh.shard_batch),
+psum-synced updates, and rank-0-only checkpointing. Both ranks must end
+with BIT-IDENTICAL generator params.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+WORKER = r"""
+import hashlib, json, os, sys
+pid, nproc, port, root = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{{port}}",
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+import yaml
+from vrvq_tpu.config import Config
+from vrvq_tpu.train.trainer import train
+
+cfg = Config(yaml.safe_load(open(f"{{root}}/tiny.yml")))
+cfg["num_iters"] = 2
+cfg["valid_freq"] = 10
+cfg["sample_freq"] = 10
+cfg["val_idx"] = []
+cfg["num_workers"] = 1
+save = f"{{root}}/ckpt_mh"
+train(cfg, save_path=save)
+
+# dump a digest of the final generator params for cross-rank comparison
+from vrvq_tpu.train import checkpoint as ckpt
+from vrvq_tpu.train.loop import init_train_state
+from vrvq_tpu.train.state import make_optimizer
+from vrvq_tpu.models import DAC_VRVQ, Discriminator
+import jax.numpy as jnp
+gen = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
+disc = Discriminator(**cfg.kwargs("Discriminator"))
+abstract = init_train_state(gen, disc, make_optimizer(max_grad_norm=1e3),
+                            make_optimizer(max_grad_norm=10.0),
+                            jnp.zeros((1, 1, 2048)))
+state = ckpt.load_checkpoint(save, abstract, "latest")
+leaves = jax.tree_util.tree_leaves(state.gen_params)
+h = hashlib.sha256()
+for leaf in leaves:
+    h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+print(json.dumps({{"rank": pid, "digest": h.hexdigest(),
+                   "step": int(state.step)}}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_training_identical_params(tmp_path):
+    from vrvq_tpu.data.audio_io import write_wav
+
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        t = np.arange(44100) / 44100
+        x = (0.4 * np.sin(2 * np.pi * (220 + 60 * i) * t)
+             + 0.05 * rng.randn(44100)).astype(np.float32)
+        write_wav(wavs / f"clip_{i}.wav", x, 44100)
+
+    tiny = {
+        "DAC_VRVQ.sample_rate": 44100, "DAC_VRVQ.encoder_dim": 8,
+        "DAC_VRVQ.encoder_rates": [2, 4, 8, 8], "DAC_VRVQ.decoder_dim": 128,
+        "DAC_VRVQ.decoder_rates": [8, 8, 4, 2], "DAC_VRVQ.n_codebooks": 4,
+        "DAC_VRVQ.codebook_size": 32, "DAC_VRVQ.codebook_dim": 4,
+        "DAC_VRVQ.model_type": "VBR", "DAC_VRVQ.level_min": 0.125,
+        "DAC_VRVQ.level_max": 6.0, "DAC_VRVQ.full_codebook_rate": 0.25,
+        "DAC_VRVQ.quantizer_dropout": 0.0,
+        "Discriminator.periods": [2, 3], "Discriminator.fft_sizes": [512],
+        "Discriminator.rates": [],
+        "AdamW.lr": 1e-4, "AdamW.betas": [0.8, 0.99],
+        "ExponentialLR.gamma": 0.999996,
+        "MultiScaleSTFTLoss.window_lengths": [512],
+        "MelSpectrogramLoss.n_mels": [40],
+        "MelSpectrogramLoss.window_lengths": [512],
+        "MelSpectrogramLoss.mel_fmin": [0],
+        "MelSpectrogramLoss.mel_fmax": [None],
+        "MelSpectrogramLoss.pow": 1.0, "MelSpectrogramLoss.mag_weight": 0.0,
+        "lambdas": {"mel/loss": 15.0, "adv/feat_loss": 2.0,
+                    "adv/gen_loss": 1.0, "vq/commitment_loss": 0.25,
+                    "vq/codebook_loss": 1.0, "vq/rate_loss": 2.0},
+        "build_dataset.folders": {"music": [str(wavs)]},
+        "AudioDataset.duration": 0.38, "AudioDataset.n_examples": 100,
+        "val/AudioDataset.n_examples": 4,
+        "AudioLoader.shuffle": True,
+        "AudioDataset.without_replacement": True,
+        "build_transform.preprocess": ["Identity"],
+        "build_transform.augment_prob": 0.0,
+        "build_transform.augment": ["Identity"],
+        "build_transform.postprocess": ["RescaleAudio"],
+        "split_train_step": True,
+        # global batch 4 over 2 processes x 2 fake devices
+        "batch_size": 4, "val_batch_size": 4,
+        "seed": 0,
+    }
+    import yaml
+    with open(tmp_path / "tiny.yml", "w") as f:
+        yaml.safe_dump(tiny, f)
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=str(REPO)))
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(tmp_path),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1500)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+
+    digests = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith('{"rank"')][-1]
+        rec = json.loads(line)
+        assert rec["step"] == 2
+        digests[rec["rank"]] = rec["digest"]
+    assert set(digests) == {0, 1}
+    assert digests[0] == digests[1], "ranks diverged after psum-synced steps"
+
+    # rank-0-only checkpointing: exactly one process wrote the state
+    assert (tmp_path / "ckpt_mh" / "latest" / "state").exists()

@@ -23,27 +23,47 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+def _sync(name: str) -> None:
+    """Cross-process barrier (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def save_checkpoint(
     state: TrainState,
     save_path: str | Path,
     tags: List[str],
     metadata: Optional[Dict[str, Any]] = None,
 ) -> None:
+    """Tagged checkpoint write.
+
+    Under ``jax.distributed`` orbax saves are COLLECTIVE (internal commit
+    barriers) — every process must call this, unlike torch's rank-0-only
+    ``save_to_folder`` (reference scripts/train.py:349-366). Filesystem
+    prep and meta.json stay on process 0.
+    """
     save_path = Path(save_path).resolve()
+    rank = jax.process_index()
     checkpointer = ocp.StandardCheckpointer()
     state = jax.device_get(state)
     for tag in tags:
         tag_dir = save_path / tag
         state_dir = tag_dir / "state"
-        if state_dir.exists():
-            shutil.rmtree(state_dir)
-        tag_dir.mkdir(parents=True, exist_ok=True)
+        if rank == 0:
+            if state_dir.exists():
+                shutil.rmtree(state_dir)
+            tag_dir.mkdir(parents=True, exist_ok=True)
+        _sync(f"ckpt_prep_{tag}")
         checkpointer.save(state_dir, state)
         checkpointer.wait_until_finished()
-        meta = {"step": int(state.step)}
-        meta.update(metadata or {})
-        with open(tag_dir / "meta.json", "w") as f:
-            json.dump(meta, f, indent=2, default=str)
+        if rank == 0:
+            meta = {"step": int(state.step)}
+            meta.update(metadata or {})
+            with open(tag_dir / "meta.json", "w") as f:
+                json.dump(meta, f, indent=2, default=str)
+        _sync(f"ckpt_done_{tag}")
 
 
 def load_checkpoint(

@@ -456,15 +456,17 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
                 save_samples(state, val_idx, writer)
         if step % valid_freq == 0 or last_iter:
             validate(state, val_batch_size)
-            if rank == 0:
-                tags = ckpt.checkpoint_tags(
-                    step, save_iters, tracker.is_best("val", "mel/loss")
-                )
-                tracker.print(f"Saving to {save_path} tags={tags}")
-                ckpt.save_checkpoint(
-                    state.train_state, save_path, tags,
-                    metadata={"tracker": tracker.state_dict()},
-                )
+            # deterministic on every rank (same val metrics); orbax saves
+            # are collective under jax.distributed, so all ranks join —
+            # process 0 does the actual writing (train/checkpoint.py)
+            tags = ckpt.checkpoint_tags(
+                step, save_iters, tracker.is_best("val", "mel/loss")
+            )
+            tracker.print(f"Saving to {save_path} tags={tags}")
+            ckpt.save_checkpoint(
+                state.train_state, save_path, tags,
+                metadata={"tracker": tracker.state_dict()},
+            )
         if last_iter:
             break
     return save_path
