@@ -308,8 +308,19 @@ def validate(state: State, batch_size: int,
     n = len(state.val_data)
     if num_batches is not None:
         n = min(n, batch_size * num_batches)
+    n_proc = jax.process_count()
+    rank = jax.process_index()
     for start in range(0, n, batch_size):
-        items = [state.val_data[i] for i in range(start, min(start + batch_size, n))]
+        idxs = list(range(start, min(start + batch_size, n)))
+        sharded = (state.mesh.devices.size > 1
+                   and len(idxs) % state.mesh.devices.size == 0)
+        if sharded and n_proc > 1:
+            # multihost: each process loads/collates only ITS rows of the
+            # global batch — shard_batch assembles the global array from
+            # the per-process shards (same contract as the train loader)
+            per = len(idxs) // n_proc
+            idxs = idxs[rank * per:(rank + 1) * per]
+        items = [state.val_data[i] for i in idxs]
         batch = state.val_data.collate(items)
         transformed = _apply_transform(state, state.val_data, batch)
         audio = jnp.asarray(
@@ -318,8 +329,7 @@ def validate(state: State, batch_size: int,
         )
         # data-parallel validation when the batch divides the mesh
         # (ragged final batches just run replicated)
-        if (state.mesh.devices.size > 1
-                and audio.shape[0] % state.mesh.devices.size == 0):
+        if sharded:
             audio = shard_batch(audio, state.mesh)
         out = state.val_step(state.train_state.gen_params, audio)
         results.append({k: float(v) for k, v in out.items()})
