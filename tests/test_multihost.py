@@ -43,7 +43,7 @@ cfg = Config(yaml.safe_load(open(f"{{root}}/tiny.yml")))
 cfg["num_iters"] = 2
 cfg["valid_freq"] = 10
 cfg["sample_freq"] = 10
-cfg["val_idx"] = []
+cfg["val_idx"] = [0]  # exercises the collective save_samples forward
 cfg["num_workers"] = 1
 save = f"{{root}}/ckpt_mh"
 train(cfg, save_path=save)

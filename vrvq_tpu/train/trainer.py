@@ -339,8 +339,15 @@ def validate(state: State, batch_size: int,
 
 def save_samples(state: State, val_idx: List[int], writer) -> None:
     """Audio + importance-map images to TensorBoard
-    (reference: scripts/train.py:369-404)."""
-    if writer is None or not val_idx:
+    (reference: scripts/train.py:369-404).
+
+    Under jax.distributed this must run on EVERY process even though only
+    rank 0 has a writer: the params live replicated on the global mesh,
+    so the forward is a multi-controller launch all ranks must join
+    (same reason checkpoint saves are collective, train/checkpoint.py).
+    """
+    multiproc = jax.process_count() > 1
+    if not val_idx or (writer is None and not multiproc):
         return
     items = [state.val_data[i] for i in val_idx]
     batch = state.val_data.collate(items)
@@ -349,6 +356,8 @@ def save_samples(state: State, val_idx: List[int], writer) -> None:
     out = state.generator.apply(
         state.train_state.gen_params, audio, level=1.0
     )
+    if writer is None:  # non-zero rank: joined the launch, nothing to write
+        return
     recons = np.asarray(out["audio"])
     sr = state.generator.sample_rate
     try:
@@ -462,8 +471,9 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
 
         last_iter = step == num_iters - 1
         if step % sample_freq == 0 or last_iter:
-            if rank == 0:
-                save_samples(state, val_idx, writer)
+            # every rank joins (multi-controller forward); only rank 0's
+            # writer emits artifacts — see save_samples
+            save_samples(state, val_idx, writer)
         if step % valid_freq == 0 or last_iter:
             validate(state, val_batch_size)
             # deterministic on every rank (same val metrics); orbax saves
