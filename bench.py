@@ -176,7 +176,19 @@ def bench_train_step(model, params):
         _sync(m2["loss"])
 
     dt = _timeit(step, n_iters=5)
-    return dt * 1e3
+
+    train_mfu = None
+    try:
+        flops = 0.0
+        for fn in (d_step, g_step):
+            cost = fn.lower(state, audio, key).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops += float(cost.get("flops", 0.0))
+        train_mfu = (flops / dt / PEAK_FLOPS) if flops else None
+    except Exception:
+        pass
+    return dt * 1e3, train_mfu
 
 
 def bench_fused_encode(model, params):
@@ -331,9 +343,11 @@ def main():
                 {"rtf_b32_chunked": round(bench_b32_chunked(fast_model, fast_params), 2)}
             ))
         elif phase == "train":
-            print(json.dumps(
-                {"train_step_ms": round(bench_train_step(model, params), 1)}
-            ))
+            step_ms, train_mfu = bench_train_step(model, params)
+            rec = {"train_step_ms": round(step_ms, 1)}
+            if train_mfu is not None:
+                rec["train_mfu"] = round(train_mfu, 4)
+            print(json.dumps(rec))
         elif phase == "fused":
             print(json.dumps(bench_fused_encode(model, params)))
         elif phase == "pool":

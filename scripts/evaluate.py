@@ -68,6 +68,12 @@ def evaluate(cfg):
     levels = cfg.get("levels", DEFAULT_LEVELS)
     if isinstance(levels, str):
         levels = [float(x) for x in levels.split(",")]
+    elif isinstance(levels, (int, float)):
+        # the CLI parser only tuple-izes comma-separated values, so a lone
+        # "--levels 2" arrives as a bare scalar
+        levels = [float(levels)]
+    else:
+        levels = [float(x) for x in levels]
     metrics = list(METRICS) + (["ViSQOL"] if cfg.get("visqol") else [])
 
     loader = AudioLoader(sources=[cfg.get("data_dir")], shuffle=False)

@@ -336,6 +336,28 @@ def test_batch_iterator_local_slice_partitions_global_batch():
     assert next(resumed)["xs"] == next(fresh)["xs"][:4]
 
 
+def test_data_mesh_size_selection():
+    """Single-process picks the largest device count dividing the batch;
+    multihost must use ALL devices (a devices[:n] subset mesh is not
+    process-uniform — jax.make_array_from_process_local_data raises
+    'non-uniform sharding' — so an indivisible batch is a config error,
+    caught loudly at load() instead of crashing the first train step)."""
+    from vrvq_tpu.train.trainer import _data_mesh_size
+
+    # single process: largest n <= n_devices with batch % n == 0
+    assert _data_mesh_size(16, 8, 1) == 8
+    assert _data_mesh_size(12, 8, 1) == 6
+    assert _data_mesh_size(7, 8, 1) == 7
+    assert _data_mesh_size(5, 4, 1) == 1
+
+    # multihost: full device set or a loud error
+    assert _data_mesh_size(8, 4, 2) == 4
+    with pytest.raises(ValueError, match="divisible by the global device"):
+        _data_mesh_size(6, 4, 2)  # 6 % 2 procs ok, but 6 % 4 devices isn't
+    with pytest.raises(ValueError, match="divisible by the global device"):
+        _data_mesh_size(2, 4, 2)
+
+
 def test_export_torch_cli(env):
     """scripts/export_torch.py writes a reference-layout weights.pth from
     a trained checkpoint, and the torch importer accepts it."""

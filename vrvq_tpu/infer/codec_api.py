@@ -337,8 +337,17 @@ class CodecProcessor:
         decode = self._decode_codes_pad if obj.padding else self._decode_codes_nopad
 
         n_q = codes.shape[1]
-        # dispatch-all-then-fetch, same rationale as the compress loop
-        jobs = []
+        # Bounded dispatch-ahead pipeline: fetch chunk i-K while chunk i
+        # computes, so device work still overlaps the per-fetch tunnel
+        # round-trip — but unlike dispatch-ALL-then-fetch, peak HBM stays
+        # O(K) decoded-output buffers instead of growing linearly with
+        # clip length (a long batched decompress would otherwise OOM on
+        # the very path that exists as the OOM fallback).
+        from collections import deque
+
+        max_inflight = 4
+        jobs: deque = deque()
+        parts = []
         for i in range(0, codes.shape[-1], chunk_length):
             c = codes[..., i: i + chunk_length]
             if c.shape[-1] < chunk_length:
@@ -358,8 +367,11 @@ class CodecProcessor:
             else:
                 mask = jnp.ones((c.shape[0], n_q, chunk_length), jnp.float32)
             jobs.append(decode(jnp.asarray(c), mask))
+            if len(jobs) > max_inflight:
+                parts.append(np.asarray(jobs.popleft()))
 
-        audio = np.concatenate([np.asarray(r) for r in jobs], axis=-1)
+        parts.extend(np.asarray(r) for r in jobs)
+        audio = np.concatenate(parts, axis=-1)
         out = Signal(audio, model.sample_rate)
         out.normalize(obj.input_db)
         out.resample(obj.sample_rate)

@@ -138,6 +138,32 @@ def _batch_iterator(
         yield batch
 
 
+def _data_mesh_size(batch_size: int, n_devices: int, n_proc: int) -> int:
+    """Device count for the data mesh.
+
+    Single-process: the largest device count dividing the batch (the
+    reference's DDP likewise requires batch % world_size == 0).
+
+    Multihost: shard_batch assembles global batches from per-process
+    shards, which requires every process to own the same number of mesh
+    devices — a devices[:n] subset mesh mixes per-process device counts
+    and make_array_from_process_local_data rejects it ("non-uniform
+    sharding"), so ALL devices must be used and the global batch must
+    divide over them.
+    """
+    if n_proc > 1:
+        if batch_size % n_devices:
+            raise ValueError(
+                f"multihost training requires batch_size ({batch_size}) "
+                f"divisible by the global device count ({n_devices})"
+            )
+        return n_devices
+    n = n_devices
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return n
+
+
 def load(
     cfg: Config,
     tracker: Tracker,
@@ -228,13 +254,10 @@ def load(
         tracker.step = int(train_state.step)
 
     if mesh is None:
-        # the data mesh uses the largest device count dividing the batch
-        # (the reference's DDP likewise requires batch % world_size == 0)
-        batch_size = cfg.get("batch_size", 12)
-        n = len(jax.devices())
-        while n > 1 and batch_size % n != 0:
-            n -= 1
-        mesh = make_mesh(n)
+        mesh = make_mesh(_data_mesh_size(
+            cfg.get("batch_size", 12), len(jax.devices()),
+            jax.process_count(),
+        ))
     if mesh.devices.size > 1:
         train_state = replicate(train_state, mesh)
     # single-device: leave state/batches unannotated so the jit programs are
@@ -331,7 +354,9 @@ def validate(state: State, batch_size: int,
         # (ragged final batches just run replicated)
         if sharded:
             audio = shard_batch(audio, state.mesh)
-        out = state.val_step(state.train_state.gen_params, audio)
+        # one batched host transfer per val step (each individual float()
+        # would pay its own ~26 ms tunnel round-trip)
+        out = jax.device_get(state.val_step(state.train_state.gen_params, audio))
         results.append({k: float(v) for k, v in out.items()})
         state.tracker.log_metrics("val", results[-1])
     return state.tracker.done("val", f"Iteration {state.tracker.step}")
@@ -474,6 +499,7 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
             # every rank joins (multi-controller forward); only rank 0's
             # writer emits artifacts — see save_samples
             save_samples(state, val_idx, writer)
+            timer.mark("samples")
         if step % valid_freq == 0 or last_iter:
             validate(state, val_batch_size)
             # deterministic on every rank (same val metrics); orbax saves
@@ -487,6 +513,10 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
                 state.train_state, save_path, tags,
                 metadata={"tracker": tracker.state_dict()},
             )
+            # charge the val+checkpoint tail to its own phase — otherwise
+            # the NEXT iteration's "data" mark absorbs it and the timing
+            # report misdiagnoses the input pipeline
+            timer.mark("val+ckpt")
         if last_iter:
             break
     return save_path
