@@ -11,7 +11,20 @@ The headline forward uses the production fast-inference path
 codes bit-identical to the live model, decode ~40 dB agreement — measured
 268x vs 169x live-f32 on v5e).
 
-Extra fields in the same JSON line:
+Structure (hard-deadline, early-emission — the round-2 artifact was lost
+to a driver timeout because one wedged phase forfeited the whole run):
+  * a global wall-clock budget (BENCH_BUDGET_S env, default 480 s) bounds
+    EVERYTHING; every subprocess timeout is derived from the remainder;
+  * the headline JSON line is printed (and flushed) immediately after the
+    headline phase, BEFORE any optional phase runs — even if the driver
+    kills this process mid-phase, the captured stdout holds the number;
+  * each optional phase runs in its own bounded subprocess; a hung phase
+    costs its field, not the artifact;
+  * if any optional field was gathered, one final enriched JSON line is
+    printed with the same headline fields plus the extras (both lines
+    parse to a valid record, whichever the driver picks).
+
+Extra fields in the enriched line:
   * mfu              — model FLOPs utilization of the fast forward
                         (FLOPs from XLA cost analysis / time / peak)
   * rtf_live_f32     — the exact live-f32 forward's realtime factor
@@ -22,11 +35,10 @@ Extra fields in the same JSON line:
   * stream_pool_rtf  — 32 live streams through StreamPool's batched,
                         dispatch-overlapped serving encode (+ the
                         single-stream first-chunk encode latency)
-
-Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -65,51 +77,70 @@ def _timeit(fn, n_iters=5):
     return min(times)
 
 
-def bench_forward(model, params):
+def _headline_record(rtf, mfu=None):
+    out = {
+        "metric": "encode_decode_realtime_factor",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    return out
+
+
+def _bench_audio(batch, seconds, seed):
+    n = ((int(seconds * SAMPLE_RATE) + 511) // 512) * 512
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1), n
+
+
+def _forward_fn(m):
+    @jax.jit
+    def forward(params, audio):
+        out = m.apply(params, audio, level=1.0)
+        return jnp.sum(out["audio"][:, :, ::1000]), out["codes"][0, 0, 0]
+    return forward
+
+
+def bench_headline(model, params):
     """Headline forward: the fast-inference path (decoder weight-norm fold +
     bf16 + polynomial snake, infer/fast.py). Codes are bit-identical to the
     live model (verified on-device); decode agrees with f32 at ~40 dB, far
-    above the codec's own reconstruction error. Also returns the live-f32
-    RTF for reference."""
-    batch, seconds = 16, 10.0
-    n = int(seconds * SAMPLE_RATE)
-    n = ((n + 511) // 512) * 512
-    rng = np.random.RandomState(0)
-    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+    above the codec's own reconstruction error."""
+    audio, n = _bench_audio(batch=16, seconds=10.0, seed=0)
 
     from vrvq_tpu.infer.fast import make_inference_model
 
     fast_model, fast_params = make_inference_model(model, params)
+    fast_fwd = _forward_fn(fast_model)
+    # Compile ONCE, explicitly, and reuse the executable for both timing and
+    # the FLOPs probe (a post-hoc .lower().compile() would build a fresh
+    # executable through the remote helper, which can hang after all the
+    # numbers are already in hand).
+    compiled = fast_fwd.lower(fast_params, audio).compile()
+    dt = _timeit(lambda: _sync(*compiled(fast_params, audio)))
+    rtf = 16 * (n / SAMPLE_RATE) / dt
 
-    def fwd_fn(m):
-        @jax.jit
-        def forward(params, audio):
-            out = m.apply(params, audio, level=1.0)
-            return jnp.sum(out["audio"][:, :, ::1000]), out["codes"][0, 0, 0]
-        return forward
-
-    fast_fwd = fwd_fn(fast_model)
-    dt = _timeit(lambda: _sync(*fast_fwd(fast_params, audio)))
-    rtf = batch * (n / SAMPLE_RATE) / dt
-
-    flops = None
+    mfu = None
     try:
-        cost = fast_fwd.lower(fast_params, audio).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            mfu = flops / dt / PEAK_FLOPS
     except Exception:
         pass
-    mfu = (flops / dt / PEAK_FLOPS) if flops else None
+    return rtf, mfu
 
-    rtf_live = None
-    try:
-        live_fwd = fwd_fn(model)
-        dt_live = _timeit(lambda: _sync(*live_fwd(params, audio)))
-        rtf_live = batch * (n / SAMPLE_RATE) / dt_live
-    except Exception as e:
-        print(f"# live-f32 forward bench failed: {e!r}", file=sys.stderr)
-    return rtf, mfu, rtf_live, (fast_model, fast_params)
+
+def bench_live_f32(model, params):
+    """The exact live-f32 forward (no fold, no bf16, exact sin snake)."""
+    audio, n = _bench_audio(batch=16, seconds=10.0, seed=0)
+    fwd = _forward_fn(model)
+    dt = _timeit(lambda: _sync(*fwd(params, audio)))
+    return 16 * (n / SAMPLE_RATE) / dt
 
 
 def bench_b32_chunked(model, params):
@@ -118,10 +149,7 @@ def bench_b32_chunked(model, params):
     holds 6.7 GB full-rate activations; decoder similar)."""
     from vrvq_tpu.infer.chunked import forward_chunked
 
-    batch, seconds = 32, 10.0
-    n = ((int(seconds * SAMPLE_RATE) + 511) // 512) * 512
-    rng = np.random.RandomState(1)
-    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+    audio, n = _bench_audio(batch=32, seconds=10.0, seed=1)
 
     @jax.jit
     def forward(params, audio):
@@ -130,7 +158,7 @@ def bench_b32_chunked(model, params):
         return jnp.sum(out[:, :, ::1000]), codes[0, 0, 0]
 
     dt = _timeit(lambda: _sync(*forward(params, audio)))
-    return batch * (n / SAMPLE_RATE) / dt
+    return 32 * (n / SAMPLE_RATE) / dt
 
 
 def bench_train_step(model, params):
@@ -161,33 +189,39 @@ def bench_train_step(model, params):
     d_step = jax.jit(d_step, donate_argnums=0)
     g_step = jax.jit(g_step, donate_argnums=0)
 
-    batch = 16
-    n = int(0.38 * SAMPLE_RATE)
-    n = ((n + 511) // 512) * 512
-    rng = np.random.RandomState(2)
-    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+    audio, _ = _bench_audio(batch=16, seconds=0.38, seed=2)
     state = init_train_state(model, disc, opt_g, opt_d, audio[:1])
     key = jax.random.PRNGKey(0)
 
-    def step():
-        nonlocal state
-        state, m1 = d_step(state, audio, key)
-        state, m2 = g_step(state, audio, key)
-        _sync(m2["loss"])
+    # Compile both halves explicitly up front; reuse the executables for
+    # timing AND the FLOPs probe (no fresh post-timing compiles).
+    d_comp = d_step.lower(state, audio, key).compile()
+    state2, _ = d_comp(state, audio, key)
+    g_comp = g_step.lower(state2, audio, key).compile()
 
-    dt = _timeit(step, n_iters=5)
-
-    train_mfu = None
+    flops = 0.0
     try:
-        flops = 0.0
-        for fn in (d_step, g_step):
-            cost = fn.lower(state, audio, key).compile().cost_analysis()
+        for comp in (d_comp, g_comp):
+            cost = comp.cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops += float(cost.get("flops", 0.0))
-        train_mfu = (flops / dt / PEAK_FLOPS) if flops else None
     except Exception:
-        pass
+        flops = 0.0
+
+    state_box = [state]
+
+    def step():
+        st, m1 = d_comp(state_box[0], audio, key)
+        st, m2 = g_comp(st, audio, key)
+        state_box[0] = st
+        _sync(m2["loss"])
+
+    dt = _timeit(step, n_iters=5)
+    # NB: dt includes the ~26 ms host-sync tunnel round-trip plus the Python
+    # gap between the two dispatches, so train_mfu understates true device
+    # MFU by a few percent at the ~200 ms step scale.
+    train_mfu = (flops / dt / PEAK_FLOPS) if flops else None
     return dt * 1e3, train_mfu
 
 
@@ -196,10 +230,7 @@ def bench_fused_encode(model, params):
     (CodecProcessor fused_quantizer), batch 16 x 10 s VBR."""
     from vrvq_tpu.infer.codec_api import CodecProcessor
 
-    batch, seconds = 16, 10.0
-    n = ((int(seconds * SAMPLE_RATE) + 511) // 512) * 512
-    rng = np.random.RandomState(3)
-    audio = jnp.asarray(rng.randn(batch, 1, n).astype(np.float32) * 0.1)
+    audio, _ = _bench_audio(batch=16, seconds=10.0, seed=3)
 
     module = CodecProcessor(model, params)
     fused = CodecProcessor(model, params, fused_quantizer=True)
@@ -279,12 +310,12 @@ def bench_stream_pool(model, params):
     return out
 
 
-def _run_phase(phase: str, timeout_s: int = 1200):
-    """Run an optional bench phase in a subprocess and parse its one-line
-    JSON. Isolation matters: a flaky remote compile/runtime can wedge a
-    dispatch indefinitely (observed: cached train-step executables dying
+def _run_phase(phase: str, timeout_s: float):
+    """Run a bench phase in a subprocess and parse its one-line JSON.
+    Isolation matters: a flaky remote compile/runtime can wedge a dispatch
+    indefinitely (observed: cached train-step executables dying
     UNIMPLEMENTED after a remote runtime restart, then hanging the device)
-    — a hung optional phase must cost its field, not the headline JSON."""
+    — a hung phase must cost its field, not the artifact."""
     import subprocess
 
     try:
@@ -311,7 +342,7 @@ def _build():
     return model, params
 
 
-def _probe_device(timeout_s: int = 600) -> bool:
+def _probe_device(timeout_s: float) -> bool:
     """Bounded liveness probe in a subprocess: the remote TPU tunnel has
     been observed fully down for hours (backend init hangs or raises
     UNAVAILABLE) — without this, bench would hang instead of producing an
@@ -330,33 +361,48 @@ def _probe_device(timeout_s: int = 600) -> bool:
         return False
 
 
+def _child_main(phase: str):
+    model, params = _build()
+    if phase == "headline":
+        rtf, mfu = bench_headline(model, params)
+        print(json.dumps(_headline_record(rtf, mfu)))
+    elif phase == "live":
+        print(json.dumps({"rtf_live_f32": round(bench_live_f32(model, params), 2)}))
+    elif phase == "b32":
+        from vrvq_tpu.infer.fast import make_inference_model
+
+        fast_model, fast_params = make_inference_model(model, params)
+        print(json.dumps(
+            {"rtf_b32_chunked": round(bench_b32_chunked(fast_model, fast_params), 2)}
+        ))
+    elif phase == "train":
+        step_ms, train_mfu = bench_train_step(model, params)
+        rec = {"train_step_ms": round(step_ms, 1)}
+        if train_mfu is not None:
+            rec["train_mfu"] = round(train_mfu, 4)
+        print(json.dumps(rec))
+    elif phase == "fused":
+        print(json.dumps(bench_fused_encode(model, params)))
+    elif phase == "pool":
+        print(json.dumps(bench_stream_pool(model, params)))
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+
+
 def main():
     phase = next((a.split("=", 1)[1] for a in sys.argv[1:]
                   if a.startswith("--phase=")), None)
     if phase is not None:
-        model, params = _build()
-        if phase == "b32":
-            from vrvq_tpu.infer.fast import make_inference_model
-
-            fast_model, fast_params = make_inference_model(model, params)
-            print(json.dumps(
-                {"rtf_b32_chunked": round(bench_b32_chunked(fast_model, fast_params), 2)}
-            ))
-        elif phase == "train":
-            step_ms, train_mfu = bench_train_step(model, params)
-            rec = {"train_step_ms": round(step_ms, 1)}
-            if train_mfu is not None:
-                rec["train_mfu"] = round(train_mfu, 4)
-            print(json.dumps(rec))
-        elif phase == "fused":
-            print(json.dumps(bench_fused_encode(model, params)))
-        elif phase == "pool":
-            print(json.dumps(bench_stream_pool(model, params)))
-        else:
-            raise SystemExit(f"unknown phase {phase}")
+        _child_main(phase)
         return
 
-    if not _probe_device():
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    deadline = time.monotonic() + budget
+
+    def rem():
+        return deadline - time.monotonic()
+
+    if not _probe_device(timeout_s=max(30.0, min(120.0, rem() - 10))):
         print(json.dumps({
             "metric": "encode_decode_realtime_factor",
             "value": 0,
@@ -364,27 +410,38 @@ def main():
             "vs_baseline": 0,
             "error": "accelerator unreachable (remote TPU tunnel down; "
                      "last good run: see BENCH_r artifacts / BASELINE.md)",
-        }))
+        }), flush=True)
         sys.exit(1)
 
-    model, params = _build()
-    rtf, mfu, rtf_live, _ = bench_forward(model, params)
+    out = _run_phase("headline", timeout_s=max(90.0, rem() - 45))
+    if "value" not in out:
+        print(json.dumps({
+            "metric": "encode_decode_realtime_factor",
+            "value": 0,
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": 0,
+            "error": "headline forward failed/timed out within budget "
+                     f"({budget:.0f} s); see stderr",
+        }), flush=True)
+        sys.exit(1)
 
-    out = {
-        "metric": "encode_decode_realtime_factor",
-        "value": round(rtf, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / BASELINE_RTF, 3),
-    }
-    if mfu is not None:
-        out["mfu"] = round(mfu, 4)
-    if rtf_live is not None:
-        out["rtf_live_f32"] = round(rtf_live, 2)
-    out.update(_run_phase("b32"))
-    out.update(_run_phase("train"))
-    out.update(_run_phase("fused"))
-    out.update(_run_phase("pool"))
-    print(json.dumps(out))
+    # EARLY EMISSION: the artifact is safe from this point on, whatever the
+    # optional phases do.
+    print(json.dumps(out), flush=True)
+
+    extras = {}
+    # (phase, minimum budget to bother, per-phase cap) — ordered by value.
+    for ph, need, cap in (("live", 90, 240), ("train", 120, 300),
+                          ("b32", 90, 240), ("fused", 90, 240),
+                          ("pool", 90, 300)):
+        r = rem()
+        if r < need + 20:
+            print(f"# skipping {ph}: {r:.0f}s of budget left", file=sys.stderr)
+            continue
+        extras.update(_run_phase(ph, timeout_s=min(cap, r - 15)))
+    if extras:
+        out.update(extras)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -68,12 +68,22 @@ def evaluate(cfg):
     levels = cfg.get("levels", DEFAULT_LEVELS)
     if isinstance(levels, str):
         levels = [float(x) for x in levels.split(",")]
+    elif isinstance(levels, bool) or levels is None:
+        raise ValueError(
+            f"levels must be a number, comma-separated string, or list of "
+            f"numbers; got {levels!r}"
+        )
     elif isinstance(levels, (int, float)):
         # the CLI parser only tuple-izes comma-separated values, so a lone
         # "--levels 2" arrives as a bare scalar
         levels = [float(levels)]
-    else:
+    elif isinstance(levels, (list, tuple)):
         levels = [float(x) for x in levels]
+    else:
+        raise ValueError(
+            f"levels must be a number, comma-separated string, or list of "
+            f"numbers; got {type(levels).__name__}: {levels!r}"
+        )
     metrics = list(METRICS) + (["ViSQOL"] if cfg.get("visqol") else [])
 
     loader = AudioLoader(sources=[cfg.get("data_dir")], shuffle=False)

@@ -21,3 +21,28 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    """Build the native C++ lib up front so the byte-identity tests vs the
+    C++ rangecoder/wavio always run (round-2 review: they skipped silently
+    on a fresh checkout). Skipping is only acceptable when no compiler
+    exists in the environment."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    io_dir = Path(__file__).resolve().parents[1] / "vrvq_tpu" / "native" / "io"
+    if (io_dir / "libvrvqio.so").exists():
+        return
+    if shutil.which("g++") is None and shutil.which("c++") is None:
+        return  # the tests' skipif handles this case loudly-enough
+    proc = subprocess.run(
+        ["make", "-C", str(io_dir)], capture_output=True, text=True,
+        timeout=300,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native lib build failed (required when a compiler is "
+            f"present):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        )

@@ -92,3 +92,34 @@ def test_resample_jax_matches_scipy_gain():
         a, b = ref[0, 100:n], out[0, 100:n]
         assert abs(np.abs(a).max() - np.abs(b).max()) < 0.02
         np.testing.assert_allclose(a, b, atol=0.02)
+
+
+def test_resample_jax_odd_rational_ratios():
+    """Parity vs scipy's polyphase at odd rational ratios — the MSD path
+    when `rates` is enabled divides the sample rate by small integers
+    (reference models/discriminator.py:85-88), but the resampler must also
+    hold up at awkward up/down fractions (e.g. 44100->16000 = 160/441,
+    44100->22000 = 220/441, 44100->48000 = 160/147)."""
+    from vrvq_tpu.ops.resample import resample_jax, resample_poly_np
+
+    rng = np.random.RandomState(7)
+    t = np.arange(16384) / 44100
+    # band-limited test signal (tones well under the lowest Nyquist) plus
+    # a little band-limited noise so the comparison isn't tone-specific
+    x = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1337 * t + 0.3)
+        + 0.1 * np.sin(2 * np.pi * 3500 * t + 1.1)
+    ).astype(np.float32)[None]
+    for new_sr in (16000, 22000, 48000, 14700):
+        ref = resample_poly_np(x, 44100, new_sr)
+        out = np.asarray(resample_jax(jnp.asarray(x), 44100, new_sr))
+        # output length must match ceil(T*up/down) like scipy's resample_poly
+        assert out.shape[-1] == ref.shape[-1], (new_sr, out.shape, ref.shape)
+        n = min(ref.shape[-1], out.shape[-1]) - 400
+        a, b = ref[0, 400:n], out[0, 400:n]
+        err = np.abs(a - b).max()
+        assert err < 0.02, f"sr {new_sr}: max err {err}"
+        # agreement in dB well above what a codec eval would perturb
+        snr = 10 * np.log10((a**2).sum() / ((a - b) ** 2).sum())
+        assert snr > 35.0, f"sr {new_sr}: SNR {snr:.1f} dB"

@@ -367,7 +367,7 @@ class CodecProcessor:
             else:
                 mask = jnp.ones((c.shape[0], n_q, chunk_length), jnp.float32)
             jobs.append(decode(jnp.asarray(c), mask))
-            if len(jobs) > max_inflight:
+            while len(jobs) >= max_inflight:
                 parts.append(np.asarray(jobs.popleft()))
 
         parts.extend(np.asarray(r) for r in jobs)

@@ -9,7 +9,6 @@ enabled, reference models/discriminator.py:85-88).
 
 from __future__ import annotations
 
-import functools
 import math
 from fractions import Fraction
 
@@ -25,21 +24,6 @@ def resample_poly_np(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     frac = Fraction(new_sr, orig_sr)
     up, down = frac.numerator, frac.denominator
     return resample_poly(x, up, down, axis=-1).astype(x.dtype, copy=False)
-
-
-@functools.lru_cache(maxsize=16)
-def _sinc_kernel(up: int, down: int, zeros: int = 24, beta: float = 14.769656459379492):
-    """Kaiser-windowed sinc kernel bank for rational resampling (julius-style)."""
-    sr_ratio = min(up, down)
-    width = zeros * max(up, down) // min(up, down)
-    # kernel for each output phase
-    kernel_len = 2 * zeros * down // math.gcd(up, down) + 1
-    t = np.arange(-zeros, zeros + 1e-9, 1.0 / up)
-    cutoff = min(up, down) / max(up, down) if up < down else 1.0
-    del sr_ratio, width, kernel_len
-    window = np.kaiser(len(t), beta)
-    sinc = np.sinc(t * cutoff) * cutoff * window
-    return sinc.astype(np.float32)
 
 
 def resample_jax(x, orig_sr: int, new_sr: int, zeros: int = 24):
@@ -66,11 +50,15 @@ def resample_jax(x, orig_sr: int, new_sr: int, zeros: int = 24):
     sig = x.reshape((-1, x.shape[-1], 1))
     k = len(filt)
     pad = k // 2
+    # right-pad one extra `down` so the strided conv always yields at least
+    # ceil(T*up/down) samples (matching scipy.signal.resample_poly's length
+    # contract) — at awkward fractions the symmetric pad alone can land one
+    # output short
     y = jax.lax.conv_general_dilated(
         sig,
         jnp.asarray(filt).reshape(k, 1, 1),
         window_strides=(down,),
-        padding=[(pad, pad)],
+        padding=[(pad, pad + down)],
         lhs_dilation=(up,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
