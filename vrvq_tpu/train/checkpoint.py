@@ -342,6 +342,127 @@ def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def convert_torch_discriminator_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    periods: List[int] = (2, 3, 5, 7, 11),
+    rates: List[int] = (),
+    fft_sizes: List[int] = (2048, 1024, 512),
+) -> Dict[str, Any]:
+    """Map a reference ``Discriminator`` torch ``state_dict`` onto our
+    discriminator param pytree (models/discriminator.py here vs reference
+    models/discriminator.py:178-208: ModuleList ordered MPD(periods) +
+    MSD(rates) + MRD(fft_sizes)).
+
+    The period/rate/fft values name our submodules (``mpd_2`` etc.) and
+    cannot be inferred from tensor shapes, so they are passed explicitly
+    (they are config, ``Discriminator.periods/rates/fft_sizes``).
+
+    Layout mapping:
+      * Conv1d ``weight_v`` (out, in/groups, k) -> (k, in/groups, out)
+      * Conv2d ``weight_v`` (out, in, kh, kw) -> (kh, kw, in, out)
+      * ``weight_g`` -> (out,)
+
+    Purely structural (transposes/reshapes only), so it maps gradients the
+    same way it maps weights — tests/test_parity_grads.py relies on that.
+    """
+    params: Dict[str, Any] = {}
+
+    def conv(dst: Dict[str, Any], prefix: str):
+        v = np.asarray(state_dict[f"{prefix}.weight_v"])
+        if v.ndim == 4:
+            dst["v"] = np.transpose(v, (2, 3, 1, 0))
+        else:
+            dst["v"] = np.transpose(v, (2, 1, 0))
+        dst["g"] = np.asarray(state_dict[f"{prefix}.weight_g"]).reshape(-1)
+        b = state_dict.get(f"{prefix}.bias")
+        if b is not None:
+            dst["bias"] = np.asarray(b)
+
+    idx = 0
+    for p in periods:  # MPD: convs.{j} are Sequential(conv, leaky)
+        node: Dict[str, Any] = {}
+        for j in range(5):
+            node[f"conv_{j}"] = {}
+            conv(node[f"conv_{j}"], f"discriminators.{idx}.convs.{j}.0")
+        node["conv_post"] = {}
+        conv(node["conv_post"], f"discriminators.{idx}.conv_post")
+        params[f"mpd_{p}"] = node
+        idx += 1
+    for r in rates:  # MSD
+        node = {}
+        for j in range(6):
+            node[f"conv_{j}"] = {}
+            conv(node[f"conv_{j}"], f"discriminators.{idx}.convs.{j}.0")
+        node["conv_post"] = {}
+        conv(node["conv_post"], f"discriminators.{idx}.conv_post")
+        params[f"msd_{r}"] = node
+        idx += 1
+    for f in fft_sizes:  # MRD: band_convs.{b}.{j} Sequentials
+        node = {}
+        b = 0
+        while f"discriminators.{idx}.band_convs.{b}.0.0.weight_v" in state_dict:
+            for j in range(5):
+                node[f"band_{b}_conv_{j}"] = {}
+                conv(node[f"band_{b}_conv_{j}"],
+                     f"discriminators.{idx}.band_convs.{b}.{j}.0")
+            b += 1
+        node["conv_post"] = {}
+        conv(node["conv_post"], f"discriminators.{idx}.conv_post")
+        params[f"mrd_{f}"] = node
+        idx += 1
+    return {"params": params}
+
+
+def export_torch_discriminator_state_dict(
+    params: Dict[str, Any],
+    periods: List[int] = (2, 3, 5, 7, 11),
+    rates: List[int] = (),
+    fft_sizes: List[int] = (2048, 1024, 512),
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_discriminator_state_dict`, so a GAN
+    training run here can be resumed by the PyTorch reference (including
+    the discriminator, not just the generator)."""
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(prefix: str, node: Dict[str, Any]):
+        v = np.asarray(node["v"])
+        if v.ndim == 4:
+            sd[f"{prefix}.weight_v"] = np.transpose(v, (3, 2, 0, 1))
+            sd[f"{prefix}.weight_g"] = np.asarray(node["g"]).reshape(-1, 1, 1, 1)
+        else:
+            sd[f"{prefix}.weight_v"] = np.transpose(v, (2, 1, 0))
+            sd[f"{prefix}.weight_g"] = np.asarray(node["g"]).reshape(-1, 1, 1)
+        if "bias" in node:
+            sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    idx = 0
+    for per in periods:
+        node = p[f"mpd_{per}"]
+        for j in range(5):
+            conv(f"discriminators.{idx}.convs.{j}.0", node[f"conv_{j}"])
+        conv(f"discriminators.{idx}.conv_post", node["conv_post"])
+        idx += 1
+    for r in rates:
+        node = p[f"msd_{r}"]
+        for j in range(6):
+            conv(f"discriminators.{idx}.convs.{j}.0", node[f"conv_{j}"])
+        conv(f"discriminators.{idx}.conv_post", node["conv_post"])
+        idx += 1
+    for f in fft_sizes:
+        node = p[f"mrd_{f}"]
+        bands = sorted({
+            int(k.split("_")[1]) for k in node if k.startswith("band_")
+        })
+        for b in bands:
+            for j in range(5):
+                conv(f"discriminators.{idx}.band_convs.{b}.{j}.0",
+                     node[f"band_{b}_conv_{j}"])
+        conv(f"discriminators.{idx}.conv_post", node["conv_post"])
+        idx += 1
+    return sd
+
+
 def save_torch_checkpoint(params: Dict[str, Any], path) -> None:
     """Write a reference-loadable ``weights.pth`` (``{"state_dict": ...}``
     of torch tensors, the layout scripts/inference.py:44-48 loads)."""
