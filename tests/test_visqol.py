@@ -109,6 +109,67 @@ def test_silent_reference_falls_back():
     assert v_noise < 0.8 and mos_noise < 3.0
 
 
+def _music_like(seed, secs=6.0):
+    """Full-band music-like anchor signal: harmonic voices with vibrato +
+    transients + broadband noise (the calibration-protocol signal,
+    vrvq_tpu/visqol.py DEFAULT_NSIM_MOS_ANCHORS)."""
+    r = np.random.RandomState(seed)
+    t = np.arange(int(secs * SR)) / SR
+    x = np.zeros_like(t)
+    for f0 in (110, 220, 330, 523, 880):
+        ph = r.rand() * 6.28
+        vib = 1 + 0.003 * np.sin(2 * np.pi * 5 * t + r.rand() * 6)
+        for h in range(1, 9):
+            x += (0.3 / h) * np.sin(2 * np.pi * f0 * h * vib * t + ph * h)
+    x *= 0.5 + 0.5 * np.sin(2 * np.pi * 0.7 * t + r.rand())
+    x += 0.05 * r.randn(t.size)
+    for _ in range(12):
+        p = int(r.rand() * (t.size - 2000))
+        x[p:p + 1500] += (np.hanning(1500) * 0.8 * r.randn(1500)
+                          * np.exp(-np.arange(1500) / 300))
+    return (0.3 * x / np.abs(x).max()).astype(np.float64)
+
+
+def _lowpass(x, cutoff):
+    from scipy.signal import firwin, filtfilt
+
+    return filtfilt(firwin(513, cutoff / (SR / 2)), [1.0], x)
+
+
+def test_mos_calibration_reproduces_anchor_conditions():
+    """Known-quality pairs: regenerate the calibration protocol's anchor
+    conditions and check the mapped MOS lands in the documented subjective
+    range for each (MUSHRA low/mid anchors per ITU-R BS.1534; ceiling per
+    ViSQOL v3's documented 4.732 maximum)."""
+    ref = _music_like(1)
+    assert nsim_to_mos(visqol(ref, ref, SR)[0]) == pytest.approx(4.732, abs=0.01)
+    mos_7k = nsim_to_mos(visqol(_lowpass(ref, 7000), ref, SR)[0])
+    assert 3.0 < mos_7k < 3.6, f"7 kHz LP (MUSHRA mid anchor): {mos_7k}"
+    mos_35 = nsim_to_mos(visqol(_lowpass(ref, 3500), ref, SR)[0])
+    assert 1.7 < mos_35 < 2.3, f"3.5 kHz LP (MUSHRA low anchor): {mos_35}"
+    mos_15 = nsim_to_mos(visqol(_lowpass(ref, 1500), ref, SR)[0])
+    assert 1.0 <= mos_15 < 1.6, f"1.5 kHz LP: {mos_15}"
+    assert mos_15 < mos_35 < mos_7k
+
+
+def test_fit_nsim_mos_recalibration():
+    """fit_nsim_mos builds a usable anchor table from noisy, unsorted,
+    non-monotone (nsim, mos) observations (e.g. official-binary scores)."""
+    from vrvq_tpu.visqol import fit_nsim_mos
+
+    pairs = [(0.9, 4.2), (0.7, 2.9), (0.8, 3.6), (0.75, 3.65),  # violator
+             (0.5, 1.6), (0.9, 4.3)]
+    table = fit_nsim_mos(pairs)
+    xs = [p[0] for p in table]
+    ys = [p[1] for p in table]
+    assert xs == sorted(xs) and ys == sorted(ys)
+    assert table[0] == (0.0, 1.0) and table[-1] == (1.0, 4.732)
+    # mapping through the custom table is monotone and interpolates
+    grid = [nsim_to_mos(v, anchors=table) for v in np.linspace(0, 1, 31)]
+    assert all(b >= a - 1e-9 for a, b in zip(grid, grid[1:]))
+    assert nsim_to_mos(0.9, anchors=table) == pytest.approx(4.25, abs=0.01)
+
+
 def test_mos_is_per_item_mean():
     """cal_metrics ViSQOL-MOS averages per-item MOS, not MOS of the mean
     vnsim (they diverge on mixed-quality batches under the steep logistic)."""
