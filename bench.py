@@ -402,7 +402,15 @@ def main():
     def rem():
         return deadline - time.monotonic()
 
-    if not _probe_device(timeout_s=max(30.0, min(120.0, rem() - 10))):
+    # The tunnel has been observed to wedge transiently (a trivial matmul
+    # times out) and then recover; retry the bounded probe while enough
+    # budget remains for the headline phase itself.
+    alive = False
+    while not alive and rem() > 240:
+        alive = _probe_device(timeout_s=max(30.0, min(120.0, rem() - 180)))
+    if not alive:
+        alive = _probe_device(timeout_s=max(30.0, min(120.0, rem() - 10)))
+    if not alive:
         print(json.dumps({
             "metric": "encode_decode_realtime_factor",
             "value": 0,

@@ -106,6 +106,121 @@ def test_zero_sharded_opt_state_train_step():
     assert not np.allclose(np.asarray(mu_pre), np.asarray(mu_post))
 
 
+def _tiny_model():
+    from vrvq_tpu.models import DAC_VRVQ
+
+    return DAC_VRVQ(
+        encoder_dim=8, decoder_dim=64, n_codebooks=2, codebook_size=16,
+        codebook_dim=4, model_type="VBR", level_min=0.125, level_max=6.0,
+    )
+
+
+def test_weak_scaling_sharded_eval_flops():
+    """Weak-scaling evidence for data-parallel eval (SURVEY §2 parallelism
+    table): at a FIXED per-device batch, the compiled sharded program's
+    per-device FLOPs (what XLA's cost_analysis reports after SPMD
+    partitioning) must stay CONSTANT as the mesh grows — no superlinear
+    collective/overhead term. This box exposes 8 fake devices on one
+    physical core, so wall-clock is meaningless here; XLA's cost analysis
+    of the actual partitioned executable is the deterministic stand-in
+    (real-chip throughput is bench.py's job)."""
+    from vrvq_tpu.models import DAC_VRVQ
+
+    m = _tiny_model()
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, jnp.zeros((1, 1, 2048)), level=1.0)
+    enc = jax.jit(
+        lambda p, a: m.apply(p, a, level=1.0, method=DAC_VRVQ.encode)
+    )
+
+    per_device = 2
+    flops = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        params_n = replicate(params, mesh)
+        audio = shard_batch(
+            jnp.zeros((per_device * n, 1, 2048), jnp.float32), mesh
+        )
+        cost = enc.lower(params_n, audio).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops[n] = float(cost["flops"])
+        # the program must actually execute sharded, shards on every device
+        out = enc(params_n, audio)
+        assert len(out["codes"].addressable_shards) == n
+        shapes = {s.data.shape for s in out["codes"].addressable_shards}
+        assert shapes == {(per_device, 2, 4)}, shapes
+
+    # weak scaling: per-device work constant as devices scale with load
+    for n in (2, 4, 8):
+        ratio = flops[n] / flops[1]
+        assert 0.9 <= ratio <= 1.15, (
+            f"mesh {n}: per-device flops ratio {ratio:.2f} not ~1 "
+            f"(per-device work is not constant)"
+        )
+
+    # strong-scaling converse: FIXED global batch of 8 rows — per-device
+    # FLOPs must fall ~1/n as the mesh absorbs the same total work
+    strong = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        params_n = replicate(params, mesh)
+        audio = shard_batch(jnp.zeros((8, 1, 2048), jnp.float32), mesh)
+        cost = enc.lower(params_n, audio).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        strong[n] = float(cost["flops"])
+    ratio = strong[1] / strong[8]
+    assert 8 * 0.85 <= ratio <= 8 * 1.2, (
+        f"strong scaling: per-device flops only fell {ratio:.2f}x "
+        f"going 1->8 devices at fixed global batch (expected ~8x)"
+    )
+
+
+def test_weak_scaling_stream_pool_mesh():
+    """StreamPool over a mesh: as stream count scales with mesh size, the
+    batched serving encode keeps per-device rows constant (the batch pads
+    to a mesh multiple and shards over the data axis) and codes stay
+    identical to the single-device pool's."""
+    from vrvq_tpu.infer.codec_api import CodecProcessor
+    from vrvq_tpu.infer.streaming import StreamPool
+
+    m = _tiny_model()
+    rngs = {"params": jax.random.PRNGKey(0), "vbr": jax.random.PRNGKey(1),
+            "vbr_dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, jnp.zeros((1, 1, 4096)), level=1.0)
+    rng = np.random.RandomState(0)
+    secs = 0.8
+    clips = [rng.randn(int(secs * 44100)).astype(np.float32) * 0.1
+             for _ in range(8)]
+
+    def run(n_devices, n_streams):
+        mesh = make_mesh(n_devices) if n_devices > 1 else None
+        proc = CodecProcessor(m, params, mesh=mesh)
+        pool = StreamPool(proc, win_duration=0.7, level=1.0, max_batch=8)
+        for i in range(n_streams):
+            pool.add_stream(i)
+        got = {}
+        block = 44100 // 4
+        for off in range(0, int(secs * 44100), block):
+            for i in range(n_streams):
+                pool.push(i, clips[i][off: off + block])
+            for sid, codes, counts in pool.poll():
+                got.setdefault(sid, []).append(np.asarray(codes))
+        for i in range(n_streams):
+            pool.flush(i)
+        for sid, codes, counts in pool.poll():
+            got.setdefault(sid, []).append(np.asarray(codes))
+        return {k: np.concatenate(v, axis=-1) for k, v in got.items()}
+
+    base = run(1, 2)
+    for n in (2, 4, 8):
+        out = run(n, n)  # streams scale with devices: weak scaling
+        for sid in range(2):
+            np.testing.assert_array_equal(out[sid], base[sid])
+
+
 def test_sharded_batched_eval():
     """Multi-chip data-parallel inference: encode a sharded batch over the
     mesh (BASELINE config #5: 'data-parallel eval sharded over multi-chip
