@@ -1,9 +1,10 @@
-"""Audio file IO: WAV + FLAC read, WAV write, source scanning.
+"""Audio file IO: WAV + FLAC + MP3 read, WAV write, source scanning.
 
 Replaces the reference's dependence on audiotools/soundfile/ffmpeg
-(reference data/loaders.py:81-104). WAV is parsed here (numpy) and FLAC
-in vrvq_tpu/data/flac_py.py; a native C++ reader (vrvq_tpu/native/io)
-accelerates both when built, with transparent fallback.
+(reference data/loaders.py:81-104). WAV is parsed here (numpy), FLAC
+in vrvq_tpu/data/flac_py.py, and MP3 via the system libmpg123
+(vrvq_tpu/data/mpeg.py); a native C++ reader (vrvq_tpu/native/io)
+accelerates WAV/FLAC when built, with transparent fallback.
 
 ``AUDIO_EXTENSIONS`` lists only formats that actually decode — an
 undecodable or unknown file raises ``UnsupportedFormatError`` from
@@ -26,7 +27,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-AUDIO_EXTENSIONS = [".wav", ".flac"]
+AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3"]
 
 
 class UnsupportedFormatError(ValueError):
@@ -213,6 +214,10 @@ def audio_info(path):
         from .flac_py import flac_info
 
         return flac_info(path)
+    if suffix == ".mp3":
+        from .mpeg import mp3_info
+
+        return mp3_info(path)
     raise UnsupportedFormatError(
         f"no decoder for '{suffix}' files (supported: {AUDIO_EXTENSIONS}): {path}"
     )
@@ -233,6 +238,10 @@ def read_audio(
         return read_wav(path, offset=offset, duration=duration)
     if suffix == ".flac":
         return read_flac(path, offset=offset, duration=duration)
+    if suffix == ".mp3":
+        from .mpeg import read_mp3
+
+        return read_mp3(path, offset=offset, duration=duration)
     raise UnsupportedFormatError(
         f"no decoder for '{suffix}' files (supported: {AUDIO_EXTENSIONS}): {path}"
     )
