@@ -6,10 +6,14 @@ forward on the available accelerator and reports the realtime factor
 (seconds of audio processed per second of wall clock). The BASELINE.json
 north-star is >=50x realtime per v5e chip, so vs_baseline = value / 50.
 
-The headline forward uses the production fast-inference path
-(infer/fast.py: decoder weight-norm fold + bf16 decode + polynomial snake;
-codes bit-identical to the live model, decode ~40 dB agreement — measured
-268x vs 169x live-f32 on v5e).
+The headline forward uses the production TURBO serving profile
+(infer/fast.py make_serving_model: folded bf16 encoder+decoder,
+polynomial snake everywhere — measured 336x vs 268x exact-codes fast
+path vs 169x live-f32 on v5e). Turbo is the serving default because the
+accuracy gate (infer/fast.py turbo_gate) passes on the trained flagship:
+>=32 dB SI-SDR turbo-vs-exact decode agreement, 99.98% bitrate-mask
+agreement (BASELINE.md); the exact-codes path stays one call away and is
+reported as rtf_exact_fast below.
 
 Structure (hard-deadline, early-emission — the round-2 artifact was lost
 to a driver timeout because one wedged phase forfeited the whole run):
@@ -27,7 +31,14 @@ to a driver timeout because one wedged phase forfeited the whole run):
 Extra fields in the enriched line:
   * mfu              — model FLOPs utilization of the fast forward
                         (FLOPs from XLA cost analysis / time / peak)
+  * rtf_exact_fast   — the exact-codes fast path (live encoder, folded
+                        bf16 decoder + poly snake): codes bit-identical
+                        to the live model
   * rtf_live_f32     — the exact live-f32 forward's realtime factor
+  * gate_*           — the turbo accuracy gate run on this chip (NB: on
+                        the bench's random-init weights the flip rate is
+                        inflated by argmax near-ties; the deploy decision
+                        uses the trained-checkpoint gate in BASELINE.md)
   * train_step_ms    — full GAN train step (gen+disc, split-step),
                         batch 16 x 0.38 s
   * rtf_b32_chunked  — fast-path encode + memory-bounded chunked decode at
@@ -104,15 +115,16 @@ def _forward_fn(m):
 
 
 def bench_headline(model, params):
-    """Headline forward: the fast-inference path (decoder weight-norm fold +
-    bf16 + polynomial snake, infer/fast.py). Codes are bit-identical to the
-    live model (verified on-device); decode agrees with f32 at ~40 dB, far
-    above the codec's own reconstruction error."""
+    """Headline forward: the turbo serving profile (make_serving_model —
+    folded bf16 encoder + polynomial snake everywhere), the serving
+    default since the accuracy gate passes on the trained flagship
+    (turbo_gate; >=32 dB turbo-vs-exact decode agreement, 99.98% mask
+    agreement, BASELINE.md)."""
     audio, n = _bench_audio(batch=16, seconds=10.0, seed=0)
 
-    from vrvq_tpu.infer.fast import make_inference_model
+    from vrvq_tpu.infer.fast import make_serving_model
 
-    fast_model, fast_params = make_inference_model(model, params)
+    fast_model, fast_params = make_serving_model(model, params)
     fast_fwd = _forward_fn(fast_model)
     # Compile ONCE, explicitly, and reuse the executable for both timing and
     # the FLOPs probe (a post-hoc .lower().compile() would build a fresh
@@ -141,6 +153,33 @@ def bench_live_f32(model, params):
     fwd = _forward_fn(model)
     dt = _timeit(lambda: _sync(*fwd(params, audio)))
     return 16 * (n / SAMPLE_RATE) / dt
+
+
+def bench_exact_fast(model, params):
+    """The exact-codes fast path (live encoder, folded bf16 decoder +
+    poly snake): codes bit-identical to the live model."""
+    from vrvq_tpu.infer.fast import make_inference_model
+
+    audio, n = _bench_audio(batch=16, seconds=10.0, seed=0)
+    fast_model, fast_params = make_inference_model(model, params)
+    fwd = _forward_fn(fast_model)
+    dt = _timeit(lambda: _sync(*fwd(fast_params, audio)))
+    return 16 * (n / SAMPLE_RATE) / dt
+
+
+def bench_gate(model, params):
+    """Run the turbo accuracy gate on this chip (random-init weights: a
+    mechanism + hardware-numerics check; the deploy decision uses the
+    trained-checkpoint gate recorded in BASELINE.md)."""
+    from vrvq_tpu.infer.fast import turbo_gate
+
+    res = turbo_gate(model, params)
+    return {
+        "gate_agreement_db": round(res.agreement_db, 1),
+        "gate_mask_agreement": round(res.mask_agreement, 5),
+        "gate_code_flip_rate": round(res.code_flip_rate, 5),
+        "gate_passed_random_init": bool(res.passed),
+    }
 
 
 def bench_b32_chunked(model, params):
@@ -368,6 +407,10 @@ def _child_main(phase: str):
         print(json.dumps(_headline_record(rtf, mfu)))
     elif phase == "live":
         print(json.dumps({"rtf_live_f32": round(bench_live_f32(model, params), 2)}))
+    elif phase == "exact":
+        print(json.dumps({"rtf_exact_fast": round(bench_exact_fast(model, params), 2)}))
+    elif phase == "gate":
+        print(json.dumps(bench_gate(model, params)))
     elif phase == "b32":
         from vrvq_tpu.infer.fast import make_inference_model
 
@@ -439,8 +482,9 @@ def main():
 
     extras = {}
     # (phase, minimum budget to bother, per-phase cap) — ordered by value.
-    for ph, need, cap in (("live", 90, 240), ("train", 120, 300),
-                          ("b32", 90, 240), ("fused", 90, 240),
+    for ph, need, cap in (("exact", 90, 240), ("live", 90, 240),
+                          ("train", 120, 300), ("b32", 90, 240),
+                          ("gate", 90, 240), ("fused", 90, 240),
                           ("pool", 90, 300)):
         r = rem()
         if r < need + 20:

@@ -27,6 +27,7 @@ subgraph). Cross-platform (TPU vs CPU/torch) exactness is governed by
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import replace
 from typing import Optional, Tuple
 
@@ -82,3 +83,121 @@ def make_inference_model(
     if encode_dtype is not None:
         kw["compute_dtype"] = encode_dtype
     return replace(model, **kw), out_params
+
+
+def make_serving_model(model, params) -> Tuple[object, dict]:
+    """The maximum-throughput serving profile ("turbo"): the fast path
+    plus a folded-bf16 encoder and polynomial snake everywhere.
+
+    Measured on the trained flagship (v5e, BASELINE.md): 336x RTF vs 268x
+    for the exact-codes fast path; ~1% of code indices change, the turbo
+    and exact code streams decode to >=32 dB SI-SDR agreement and their
+    VBR bitrate masks agree on >=99.98% of frames. Deploy it behind
+    ``turbo_gate`` on YOUR checkpoint + data: if the gate passes, this is
+    the default to serve with; the bit-exact path stays one call away
+    (``make_inference_model``).
+    """
+    return make_inference_model(
+        model, params, encode_dtype="bfloat16", encode_snake_approx=True,
+    )
+
+
+@dataclasses.dataclass
+class GateResult:
+    """Outcome of ``turbo_gate``: agreement of the turbo profile with the
+    exact-codes fast path on the probe clips."""
+
+    agreement_db: float        # SI-SDR between the two decoded outputs
+    mask_agreement: float      # fraction of VBR mask entries that agree
+    code_flip_rate: float      # fraction of code indices that changed
+    min_agreement_db: float
+    min_mask_agreement: float
+    passed: bool
+
+
+def turbo_gate(
+    model,
+    params,
+    clips=None,
+    level: float = 1.0,
+    min_agreement_db: float = 30.0,
+    min_mask_agreement: float = 0.999,
+    seed: int = 0,
+) -> GateResult:
+    """Accuracy gate for the turbo serving profile on a given checkpoint.
+
+    Encodes ``clips`` (B, 1, T) with both the exact-codes fast path and
+    the turbo profile, decodes BOTH code streams with the same (fast)
+    decoder, and measures: SI-SDR agreement between the two
+    reconstructions, VBR bitrate-mask agreement, and the raw
+    code-index flip rate. ``passed`` is True when agreement_db >=
+    min_agreement_db and mask_agreement >= min_mask_agreement — the
+    deploy-the-turbo-default criterion.
+
+    Run this on the TRAINED checkpoint and representative audio: a
+    random-init model's argmax near-tie density inflates the flip rate
+    (BASELINE.md) and understates agreement.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if clips is None:
+        # Deterministic harmonic probe clips (2 s each): tonal content
+        # exercises the imp-map/bitrate path better than noise.
+        sr = getattr(model, "sample_rate", 44100)
+        t = np.arange(2 * sr) / sr
+        rng = np.random.RandomState(seed)
+        rows = []
+        for _ in range(4):
+            f0 = rng.uniform(80, 500)
+            x = sum(rng.uniform(0.05, 0.3) * np.sin(2 * np.pi * f0 * k * t)
+                    for k in range(1, 6))
+            rows.append(x)
+        clips = np.stack(rows).astype(np.float32)[:, None, :]
+    clips = jnp.asarray(clips)
+
+    exact_m, exact_p = make_inference_model(model, params)
+    turbo_m, turbo_p = make_serving_model(model, params)
+
+    def _encode(m, p):
+        fn = jax.jit(lambda pp, a: m.apply(pp, a, level=level,
+                                           method=type(m).encode))
+        out = fn(p, clips)
+        return out["codes"], out.get("mask_imp")
+
+    codes_e, mask_e = _encode(exact_m, exact_p)
+    codes_t, mask_t = _encode(turbo_m, turbo_p)
+
+    dec = jax.jit(lambda pp, c, msk: exact_m.apply(
+        pp, c, msk, method=type(exact_m).decode_from_codes))
+    rec_e = np.asarray(dec(exact_p, codes_e, mask_e))
+    rec_t = np.asarray(dec(exact_p, codes_t, mask_t))
+
+    err = ((rec_e - rec_t) ** 2).sum()
+    sig = (rec_e ** 2).sum()
+    agreement_db = float("inf") if err == 0 else float(
+        10 * np.log10(max(sig, 1e-12) / err))
+
+    ce_np = np.asarray(codes_e)
+    if mask_e is None:  # CBR model: every stage always kept
+        mask_agreement = 1.0
+        both = np.ones(ce_np.shape, bool)
+    else:
+        mask_e_np, mask_t_np = np.asarray(mask_e), np.asarray(mask_t)
+        mask_agreement = float((mask_e_np == mask_t_np).mean())
+        # flips only count where BOTH masks keep the stage (dropped stages
+        # carry no signal)
+        both = (mask_e_np > 0) & (mask_t_np > 0)
+    ct = np.asarray(codes_t)
+    flips = float((ce_np[both] != ct[both]).mean()) if both.any() else 0.0
+
+    return GateResult(
+        agreement_db=agreement_db,
+        mask_agreement=mask_agreement,
+        code_flip_rate=flips,
+        min_agreement_db=min_agreement_db,
+        min_mask_agreement=min_mask_agreement,
+        passed=(agreement_db >= min_agreement_db
+                and mask_agreement >= min_mask_agreement),
+    )
