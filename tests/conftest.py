@@ -33,10 +33,10 @@ def pytest_configure(config):
     from pathlib import Path
 
     io_dir = Path(__file__).resolve().parents[1] / "vrvq_tpu" / "native" / "io"
-    if (io_dir / "libvrvqio.so").exists():
-        return
     if shutil.which("g++") is None and shutil.which("c++") is None:
         return  # the tests' skipif handles this case loudly-enough
+    # always run make (near-free when up to date): the tree may hold a
+    # stale libvrvqio.so while a later-added lib (libvrvqff.so) is unbuilt
     proc = subprocess.run(
         ["make", "-C", str(io_dir)], capture_output=True, text=True,
         timeout=300,

@@ -1,9 +1,12 @@
-"""Audio file IO: WAV + FLAC + MP3 read, WAV write, source scanning.
+"""Audio file IO: WAV + FLAC + MP3 + MP4/M4A read, WAV write, source
+scanning — the full audiotools AUDIO_EXTENSIONS list the reference
+trains on (reference data/loaders.py:24).
 
 Replaces the reference's dependence on audiotools/soundfile/ffmpeg
 (reference data/loaders.py:81-104). WAV is parsed here (numpy), FLAC
-in vrvq_tpu/data/flac_py.py, and MP3 via the system libmpg123
-(vrvq_tpu/data/mpeg.py); a native C++ reader (vrvq_tpu/native/io)
+in vrvq_tpu/data/flac_py.py, MP3 via the system libmpg123
+(vrvq_tpu/data/mpeg.py), and MP4/AAC via a native FFmpeg shim
+(vrvq_tpu/data/ffdecode.py); a native C++ reader (vrvq_tpu/native/io)
 accelerates WAV/FLAC when built, with transparent fallback.
 
 ``AUDIO_EXTENSIONS`` lists only formats that actually decode — an
@@ -27,7 +30,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3"]
+AUDIO_EXTENSIONS = [".wav", ".flac", ".mp3", ".mp4", ".m4a"]
 
 
 class UnsupportedFormatError(ValueError):
@@ -218,6 +221,10 @@ def audio_info(path):
         from .mpeg import mp3_info
 
         return mp3_info(path)
+    if suffix in (".mp4", ".m4a"):
+        from .ffdecode import ffmpeg_info
+
+        return ffmpeg_info(path)
     raise UnsupportedFormatError(
         f"no decoder for '{suffix}' files (supported: {AUDIO_EXTENSIONS}): {path}"
     )
@@ -242,6 +249,10 @@ def read_audio(
         from .mpeg import read_mp3
 
         return read_mp3(path, offset=offset, duration=duration)
+    if suffix in (".mp4", ".m4a"):
+        from .ffdecode import read_ffmpeg
+
+        return read_ffmpeg(path, offset=offset, duration=duration)
     raise UnsupportedFormatError(
         f"no decoder for '{suffix}' files (supported: {AUDIO_EXTENSIONS}): {path}"
     )
