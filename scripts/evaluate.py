@@ -94,6 +94,7 @@ def evaluate(cfg):
     per_level = {lv: {m: [] for m in metrics + ["kbps", "bpf"]}
                  for lv in levels}
     usage = [np.zeros(model.codebook_size, np.int64) for _ in range(n_q)]
+    imp_energy_r = []
 
     for idx in range(n):
         item = loader(
@@ -121,6 +122,17 @@ def evaluate(cfg):
             codebook_usage(enc_codes, model.codebook_size)
         ):
             usage[q] += bc.astype(np.int64)
+        # the paper's saliency signature: does the importance map track
+        # per-frame signal energy? (reference scripts/inference.py:95-122
+        # plots the imp map; here we quantify it as a Pearson r per clip)
+        if "imp_map" in enc and enc["imp_map"] is not None:
+            imp = np.asarray(enc["imp_map"])[0, 0]  # (T') frames
+            hop = model.hop_length
+            t = imp.shape[0]
+            frames = ref[0, 0, : t * hop].reshape(t, hop)
+            energy_db = 10 * np.log10((frames ** 2).mean(axis=1) + 1e-10)
+            if imp.std() > 0 and energy_db.std() > 0:
+                imp_energy_r.append(float(np.corrcoef(imp, energy_db)[0, 1]))
         print(f"evaluated {idx + 1}/{n}", file=sys.stderr)
 
     entropy, pct = cal_entropy(usage)
@@ -139,6 +151,10 @@ def evaluate(cfg):
         "codebook_entropy_bits": entropy,
         "codebook_usage_pct": pct,
     }
+    if imp_energy_r:
+        report["imp_map_energy_corr"] = dict(
+            zip(("mean", "std"), mean_std(imp_energy_r))
+        )
 
     out = cfg.get("out", "eval.json")
     with open(out, "w") as f:
