@@ -35,8 +35,10 @@ def test_serving_model_is_turbo_profile(tiny):
     m, params = tiny
     sm, sp = make_serving_model(m, params)
     assert sm.encoder_snake_approx and sm.decoder_snake_approx
-    assert sm.compute_dtype == "bfloat16"
-    assert sm.encoder_folded and sm.decoder_folded
+    # the encoder stays LIVE f32: the bf16-folded encoder variant failed
+    # the 30 dB gate on the trained demo checkpoint (BASELINE.md)
+    assert sm.compute_dtype != "bfloat16"
+    assert not sm.encoder_folded and sm.decoder_folded
     # quantizer subtree untouched: codes come from the same codebooks
     q_old = jax.tree_util.tree_leaves(params["params"]["quantizer"])
     q_new = jax.tree_util.tree_leaves(sp["params"]["quantizer"])

@@ -86,20 +86,23 @@ def make_inference_model(
 
 
 def make_serving_model(model, params) -> Tuple[object, dict]:
-    """The maximum-throughput serving profile ("turbo"): the fast path
-    plus a folded-bf16 encoder and polynomial snake everywhere.
+    """The gated max-throughput serving profile ("turbo"): the fast path
+    plus polynomial snake in the ENCODER too (live f32 encoder convs).
 
-    Measured on the trained flagship (v5e, BASELINE.md): 336x RTF vs 268x
-    for the exact-codes fast path; ~1% of code indices change, the turbo
-    and exact code streams decode to >=32 dB SI-SDR agreement and their
-    VBR bitrate masks agree on >=99.98% of frames. Deploy it behind
-    ``turbo_gate`` on YOUR checkpoint + data: if the gate passes, this is
-    the default to serve with; the bit-exact path stays one call away
-    (``make_inference_model``).
+    Measured on the trained flagship (v5e, BASELINE.md): ~324x RTF vs
+    268x for the exact-codes fast path. This exact profile passes
+    ``turbo_gate`` on the trained demo checkpoint: 34.7 dB SI-SDR
+    turbo-vs-exact decode agreement, 99.95% bitrate-mask agreement,
+    0.13% code flips. The stronger variant (+ folded bf16 encoder,
+    ``encode_dtype='bfloat16'``) measured 336x but FAILED the 30 dB gate
+    there (26.2 dB, 1.2% flips) — it stays opt-in; the bf16 encoder only
+    buys ~1.06x because the encoder convs are HBM/layout-bound.
+
+    Deploy behind ``turbo_gate`` on YOUR checkpoint + data: if the gate
+    passes, this is the default to serve with; the bit-exact path stays
+    one call away (``make_inference_model``).
     """
-    return make_inference_model(
-        model, params, encode_dtype="bfloat16", encode_snake_approx=True,
-    )
+    return make_inference_model(model, params, encode_snake_approx=True)
 
 
 @dataclasses.dataclass
