@@ -66,12 +66,20 @@ def make_inference_model(
 
     Returns ``(model', params')``; the quantizer subtree is never touched.
     """
+    import jax
+
     do_fold_encoder = fold_encoder or encode_dtype is not None
     p = params["params"]
     new_p = dict(p)
+    # One jitted program per fold: folded kernels are produced device-side
+    # with zero host<->device traffic (the old host-numpy fold round-tripped
+    # ~330 MB of decoder params through this container's remote TPU tunnel,
+    # dominating setup and wedging bench.py whenever the tunnel degraded).
     if do_fold_encoder:
-        new_p["encoder"] = fold_weight_norm(p["encoder"], encode_dtype)
-    new_p["decoder"] = fold_weight_norm(p["decoder"], decode_dtype)
+        new_p["encoder"] = jax.jit(
+            lambda t: fold_weight_norm(t, encode_dtype))(p["encoder"])
+    new_p["decoder"] = jax.jit(
+        lambda t: fold_weight_norm(t, decode_dtype))(p["decoder"])
     out_params = dict(params)
     out_params["params"] = new_p
 
