@@ -18,8 +18,11 @@ The exact-codes path is one call away, reported as rtf_exact_fast below.
 
 Structure (hard-deadline, early-emission — the round-2 artifact was lost
 to a driver timeout because one wedged phase forfeited the whole run):
-  * a global wall-clock budget (BENCH_BUDGET_S env, default 480 s) bounds
+  * a global wall-clock budget (BENCH_BUDGET_S env, default 900 s) bounds
     EVERYTHING; every subprocess timeout is derived from the remainder;
+  * the headline is retried in fresh subprocesses (probe-gated) while
+    budget remains — the tunnel wedges intermittently and clears within
+    minutes, so one stalled attempt must not forfeit the artifact;
   * the headline JSON line is printed (and flushed) immediately after the
     headline phase, BEFORE any optional phase runs — even if the driver
     kills this process mid-phase, the captured stdout holds the number;
@@ -440,23 +443,35 @@ def main():
         _child_main(phase)
         return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
     deadline = time.monotonic() + budget
 
     def rem():
         return deadline - time.monotonic()
 
-    # No up-front liveness probe: the headline phase subprocess is itself
-    # bounded, so a dead tunnel costs at most its timeout — while a probe
-    # would eat 40-120 s of budget the headline's remote compile needs
-    # (a cold full-size compile takes 1-10 min; the probe loop starving
-    # the headline is exactly how the first r03 attempt failed). Give the
-    # headline everything except a small reserve for error handling.
-    out = _run_phase("headline", timeout_s=max(90.0, rem() - 40))
+    # The remote tunnel wedges INTERMITTENTLY (observed repeatedly on
+    # 2026-08-19: an 8x8 matmul probe succeeds, a full headline run
+    # succeeds minutes later, then the next run stalls mid-phase; wedges
+    # clear on their own within minutes). So: retry the headline in fresh
+    # subprocesses while budget remains — each attempt opens a fresh tunnel
+    # connection — gating retries (never the FIRST attempt: a probe would
+    # starve the headline's remote compile, which is how an early r03
+    # attempt failed) on a cheap liveness probe so a hard-down tunnel
+    # doesn't burn the budget in doomed full-model attempts.
+    out, alive = {}, True
+    attempt = 0
+    while "value" not in out and rem() > 180:
+        attempt += 1
+        if attempt > 1:
+            alive = _probe_device(timeout_s=max(20.0, min(90.0, rem() - 30)))
+            if not alive:
+                time.sleep(min(30.0, max(0.0, rem() - 150)))
+                continue
+        out = _run_phase(
+            "headline", timeout_s=max(90.0, min(rem() - 40, 480.0)))
     if "value" not in out:
-        # Diagnose before reporting: distinguish "tunnel down" from
-        # "headline too slow for the budget".
-        alive = _probe_device(timeout_s=max(20.0, min(120.0, rem() - 10)))
+        if alive:  # last attempt ran on a live tunnel; re-check before blaming it
+            alive = _probe_device(timeout_s=max(20.0, min(90.0, rem() + 30)))
         print(json.dumps({
             "metric": "encode_decode_realtime_factor",
             "value": 0,
