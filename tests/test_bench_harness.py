@@ -1,0 +1,163 @@
+"""bench.py driver-harness logic (no accelerator involved).
+
+The round-2 perf artifact was lost because one wedged phase forfeited the
+whole bench run (VERDICT.md). These tests pin the hard-deadline /
+early-emission / retry contract of bench.main() with stubbed phases and a
+fake clock:
+
+  * the headline JSON line is printed as soon as a headline attempt
+    succeeds, before any optional phase runs;
+  * a failed headline attempt is retried in a fresh subprocess while
+    budget remains, gated on a liveness probe (never probing before the
+    FIRST attempt — that starved the real headline once);
+  * a hard-down tunnel produces an honest value-0 error record and
+    exit code 1 within budget, without burning doomed full-model attempts;
+  * optional-phase results are folded into one final enriched line that
+    still carries every headline field.
+"""
+
+import importlib.util
+import json
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture()
+def benchmod():
+    spec = importlib.util.spec_from_file_location("benchmod", REPO / "bench.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def monotonic(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def _drive(benchmod, monkeypatch, *, headline_results, probe_alive,
+           extras=None, budget=900.0, headline_cost=300.0, probe_cost=10.0):
+    """Run bench.main() with stubbed phases against a fake clock.
+
+    headline_results: per-attempt results for the headline phase; a {} entry
+      simulates a timeout (the attempt consumes its full timeout_s).
+    probe_alive: per-call liveness-probe results (last value repeats).
+    extras: optional {phase: record} for the optional phases.
+    Returns (json_lines, headline_attempts, probe_calls, exit_code).
+    """
+    clock = FakeClock()
+    calls = {"headline": 0, "probe": 0}
+    extras = extras or {}
+
+    def fake_phase(phase, timeout_s):
+        assert timeout_s > 0
+        if phase == "headline":
+            i = min(calls["headline"], len(headline_results) - 1)
+            calls["headline"] += 1
+            res = headline_results[i]
+            clock.t += timeout_s if not res else headline_cost
+            return dict(res)
+        clock.t += 5.0
+        return dict(extras.get(phase, {}))
+
+    def fake_probe(timeout_s):
+        assert timeout_s > 0
+        i = min(calls["probe"], len(probe_alive) - 1)
+        calls["probe"] += 1
+        alive = probe_alive[i]
+        clock.t += probe_cost if alive else timeout_s
+        return alive
+
+    monkeypatch.setattr(benchmod, "_run_phase", fake_phase)
+    monkeypatch.setattr(benchmod, "_probe_device", fake_probe)
+    monkeypatch.setattr(time, "monotonic", clock.monotonic)
+    monkeypatch.setattr(time, "sleep", clock.sleep)
+    monkeypatch.setenv("BENCH_BUDGET_S", str(budget))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+
+    import io
+    buf = io.StringIO()
+    old_stdout = sys.stdout
+    sys.stdout = buf
+    code = 0
+    try:
+        benchmod.main()
+    except SystemExit as e:
+        code = e.code
+    finally:
+        sys.stdout = old_stdout
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()
+             if l.startswith("{")]
+    return lines, calls["headline"], calls["probe"], code
+
+
+OK = {"metric": "encode_decode_realtime_factor", "value": 311.8,
+      "unit": "x_realtime_per_chip", "vs_baseline": 6.236}
+
+
+def test_immediate_success_no_probe(benchmod, monkeypatch):
+    lines, attempts, probes, code = _drive(
+        benchmod, monkeypatch, headline_results=[OK], probe_alive=[True])
+    assert code == 0 and attempts == 1
+    # no probe may run before the first headline attempt (it would starve
+    # the remote compile), and none is needed after a success
+    assert probes == 0
+    assert lines[0]["value"] == 311.8
+    # every emitted line is a complete, driver-parseable record
+    for rec in lines:
+        assert rec["metric"] == "encode_decode_realtime_factor"
+        assert rec["value"] == 311.8
+
+
+def test_retry_after_wedged_attempt(benchmod, monkeypatch):
+    lines, attempts, probes, code = _drive(
+        benchmod, monkeypatch, headline_results=[{}, OK], probe_alive=[True])
+    assert code == 0 and attempts == 2 and probes == 1
+    assert lines[0]["value"] == 311.8
+
+
+def test_tunnel_hard_down_emits_error_record(benchmod, monkeypatch):
+    lines, attempts, probes, code = _drive(
+        benchmod, monkeypatch, headline_results=[{}], probe_alive=[False])
+    assert code == 1
+    # only the first (ungated) attempt runs a full model; the dead probes
+    # prevent further doomed attempts
+    assert attempts == 1
+    assert probes >= 1
+    assert lines[-1]["value"] == 0
+    assert "unreachable" in lines[-1]["error"]
+
+
+def test_alive_but_too_slow_within_budget(benchmod, monkeypatch):
+    lines, attempts, probes, code = _drive(
+        benchmod, monkeypatch, headline_results=[{}], probe_alive=[True],
+        budget=1200.0)
+    assert code == 1
+    assert attempts >= 2  # alive tunnel => it kept trying
+    assert lines[-1]["value"] == 0
+    assert "IS reachable" in lines[-1]["error"]
+
+
+def test_optional_phases_enrich_final_line(benchmod, monkeypatch):
+    extras = {"exact": {"rtf_exact_fast": 268.0},
+              "train": {"train_step_ms": 208.0}}
+    lines, _, _, code = _drive(
+        benchmod, monkeypatch, headline_results=[OK], probe_alive=[True],
+        extras=extras)
+    assert code == 0
+    assert lines[0]["value"] == 311.8 and "rtf_exact_fast" not in lines[0]
+    final = lines[-1]
+    assert final["value"] == 311.8  # headline fields survive enrichment
+    assert final["rtf_exact_fast"] == 268.0
+    assert final["train_step_ms"] == 208.0
