@@ -23,6 +23,13 @@ to a driver timeout because one wedged phase forfeited the whole run):
   * the headline is retried in fresh subprocesses (probe-gated) while
     budget remains — the tunnel wedges intermittently and clears within
     minutes, so one stalled attempt must not forfeit the artifact;
+  * DEGRADED-TUNNEL FALLBACK: the tunnel has also been observed alive but
+    ~100x slow (a trivial-matmul probe takes ~105 s; the full b16x10s
+    headline then times out no matter how often it is retried). After the
+    first full-size timeout on a live tunnel, a reduced workload
+    (same flagship turbo model, batch 4 x 2 s, 2 timed iters) is attempted
+    too; if only it succeeds, its honestly-measured RTF is emitted with
+    "degraded": true + a note instead of a value-0 error record;
   * the headline JSON line is printed (and flushed) immediately after the
     headline phase, BEFORE any optional phase runs — even if the driver
     kills this process mid-phase, the captured stdout holds the number;
@@ -118,13 +125,13 @@ def _forward_fn(m):
     return forward
 
 
-def bench_headline(model, params):
+def bench_headline(model, params, batch=16, seconds=10.0, n_iters=5):
     """Headline forward: the turbo serving profile (make_serving_model —
     polynomial snake everywhere, live f32 encoder), the serving default
     since the accuracy gate passes on the trained demo flagship
     (turbo_gate: 34.7 dB turbo-vs-exact decode agreement, 99.95% mask
     agreement, BASELINE.md)."""
-    audio, n = _bench_audio(batch=16, seconds=10.0, seed=0)
+    audio, n = _bench_audio(batch=batch, seconds=seconds, seed=0)
 
     from vrvq_tpu.infer.fast import make_serving_model
 
@@ -135,8 +142,8 @@ def bench_headline(model, params):
     # executable through the remote helper, which can hang after all the
     # numbers are already in hand).
     compiled = fast_fwd.lower(fast_params, audio).compile()
-    dt = _timeit(lambda: _sync(*compiled(fast_params, audio)))
-    rtf = 16 * (n / SAMPLE_RATE) / dt
+    dt = _timeit(lambda: _sync(*compiled(fast_params, audio)), n_iters=n_iters)
+    rtf = batch * (n / SAMPLE_RATE) / dt
 
     mfu = None
     try:
@@ -376,11 +383,14 @@ def _run_phase(phase: str, timeout_s: float):
     return {}
 
 
-def _build():
+def _build(init_seconds=10.0):
+    """init_seconds only sets the length of the zeros clip the jitted init
+    traces over — params are shape-independent of T, but a short clip makes
+    the init program itself far cheaper on a degraded tunnel."""
     from __graft_entry__ import _flagship, _init
 
     model = _flagship()
-    n0 = ((int(10.0 * SAMPLE_RATE) + 511) // 512) * 512
+    n0 = ((int(init_seconds * SAMPLE_RATE) + 511) // 512) * 512
     params = _init(model, jnp.zeros((1, 1, n0), jnp.float32))
     return model, params
 
@@ -405,10 +415,26 @@ def _probe_device(timeout_s: float) -> bool:
 
 
 def _child_main(phase: str):
-    model, params = _build()
+    model, params = _build(init_seconds=2.0 if phase == "headline_small"
+                           else 10.0)
     if phase == "headline":
         rtf, mfu = bench_headline(model, params)
         print(json.dumps(_headline_record(rtf, mfu)))
+    elif phase == "headline_small":
+        # degraded-tunnel fallback: same flagship turbo model, reduced
+        # workload — honestly measured but underestimates peak RTF (less
+        # batch/length amortization of fixed per-dispatch overheads)
+        rtf, mfu = bench_headline(model, params, batch=4, seconds=2.0,
+                                  n_iters=2)
+        rec = _headline_record(rtf, mfu)
+        rec["degraded"] = True
+        rec["workload"] = "b4x2s_fallback"
+        rec["note"] = (
+            "reduced-workload fallback: the full b16x10s headline timed out "
+            "on a degraded tunnel; this RTF underestimates peak — see "
+            "BASELINE.md for full-workload numbers (311.8x measured on this "
+            "chip)")
+        print(json.dumps(rec))
     elif phase == "live":
         print(json.dumps({"rtf_live_f32": round(bench_live_f32(model, params), 2)}))
     elif phase == "exact":
@@ -458,20 +484,38 @@ def main():
     # starve the headline's remote compile, which is how an early r03
     # attempt failed) on a cheap liveness probe so a hard-down tunnel
     # doesn't burn the budget in doomed full-model attempts.
-    out, alive = {}, True
-    attempt = 0
+    out, small, alive = {}, {}, True
+    attempt = full_timeouts = small_attempts = 0
     while "value" not in out and rem() > 180:
         attempt += 1
         if attempt > 1:
-            alive = _probe_device(timeout_s=max(20.0, min(90.0, rem() - 30)))
+            # 150 s probe cap: a DEGRADED tunnel answers a trivial matmul
+            # in ~105 s (observed 2026-08-19) — a 90 s cap misclassified
+            # alive-but-slow as dead and forfeited the fallback below.
+            alive = _probe_device(timeout_s=max(20.0, min(150.0, rem() - 30)))
             if not alive:
                 time.sleep(min(30.0, max(0.0, rem() - 150)))
                 continue
+            # Alive tunnel but the full-size program already timed out:
+            # likely degraded-not-wedged — grab the reduced-workload number
+            # BEFORE burning the remaining budget on more full attempts.
+            if (full_timeouts >= 1 and "value" not in small
+                    and small_attempts < 2 and rem() > 200):
+                small_attempts += 1
+                small = _run_phase(
+                    "headline_small",
+                    timeout_s=max(90.0, min(rem() - 60, 300.0)))
         out = _run_phase(
             "headline", timeout_s=max(90.0, min(rem() - 40, 480.0)))
+        if "value" not in out:
+            full_timeouts += 1
+    if "value" not in out and "value" in small:
+        # The honest degraded record (flagged by the child) beats value-0.
+        print(json.dumps(small), flush=True)
+        return
     if "value" not in out:
         if alive:  # last attempt ran on a live tunnel; re-check before blaming it
-            alive = _probe_device(timeout_s=max(20.0, min(90.0, rem() + 30)))
+            alive = _probe_device(timeout_s=max(20.0, min(150.0, rem() + 30)))
         print(json.dumps({
             "metric": "encode_decode_realtime_factor",
             "value": 0,
@@ -480,6 +524,8 @@ def main():
             "error": (
                 "headline forward failed/timed out within budget "
                 f"({budget:.0f} s) — accelerator IS reachable; see stderr"
+                + ("; reduced-workload fallback also failed"
+                   if small_attempts else "")
                 if alive else
                 "accelerator unreachable (remote TPU tunnel down; last "
                 "good run: see BENCH_r artifacts / BASELINE.md)"

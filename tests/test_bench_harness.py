@@ -105,6 +105,11 @@ def _drive(benchmod, monkeypatch, *, headline_results, probe_alive,
 OK = {"metric": "encode_decode_realtime_factor", "value": 311.8,
       "unit": "x_realtime_per_chip", "vs_baseline": 6.236}
 
+SMALL_OK = {"metric": "encode_decode_realtime_factor", "value": 41.0,
+            "unit": "x_realtime_per_chip", "vs_baseline": 0.82,
+            "degraded": True, "workload": "b4x2s_fallback",
+            "note": "reduced-workload fallback"}
+
 
 def test_immediate_success_no_probe(benchmod, monkeypatch):
     lines, attempts, probes, code = _drive(
@@ -147,6 +152,32 @@ def test_alive_but_too_slow_within_budget(benchmod, monkeypatch):
     assert attempts >= 2  # alive tunnel => it kept trying
     assert lines[-1]["value"] == 0
     assert "IS reachable" in lines[-1]["error"]
+
+
+def test_degraded_tunnel_falls_back_to_small_workload(benchmod, monkeypatch):
+    # Alive-but-~100x-slow tunnel: every full b16x10s attempt times out,
+    # but the reduced b4x2s workload completes — its honest, flagged RTF
+    # must be emitted (exit 0) instead of a value-0 error record.
+    lines, attempts, probes, code = _drive(
+        benchmod, monkeypatch, headline_results=[{}], probe_alive=[True],
+        extras={"headline_small": SMALL_OK})
+    assert code == 0
+    assert attempts >= 2 and probes >= 1
+    final = lines[-1]
+    assert final["value"] == 41.0
+    assert final["degraded"] is True
+    assert "note" in final and final["metric"] == "encode_decode_realtime_factor"
+
+
+def test_full_success_on_retry_beats_fallback(benchmod, monkeypatch):
+    # The small fallback may run between full attempts, but a later
+    # full-size success must win the emitted record.
+    lines, attempts, _, code = _drive(
+        benchmod, monkeypatch, headline_results=[{}, OK], probe_alive=[True],
+        extras={"headline_small": SMALL_OK})
+    assert code == 0 and attempts == 2
+    assert lines[0]["value"] == 311.8
+    assert "degraded" not in lines[0]
 
 
 def test_optional_phases_enrich_final_line(benchmod, monkeypatch):
