@@ -42,6 +42,7 @@ def make_inference_model(
     snake_approx: bool = True,
     encode_snake_approx: bool = False,
     fold_encoder: bool = False,
+    encode_packed: bool = False,
 ) -> Tuple[object, dict]:
     """Prepare a model+params pair for fast inference.
 
@@ -63,6 +64,12 @@ def make_inference_model(
       fold_encoder: also fold the encoder's weight norm. Perturbs TPU codes
         (see module docstring); only worth it together with
         ``encode_dtype='bfloat16'``.
+      encode_packed: time-packed (space-to-depth x2) first encoder stage —
+        the layout fix for the measured block_0 bottleneck (4.9% MXU at
+        C=64, 177 ms of the 295 ms turbo encode; BASELINE.md roofline).
+        Same params; ulp-level latent perturbation (conv summation order),
+        so codes are NOT bit-exact vs the live model: gate with
+        ``turbo_gate`` on your checkpoint before serving with it.
 
     Returns ``(model', params')``; the quantizer subtree is never touched.
     """
@@ -85,7 +92,8 @@ def make_inference_model(
 
     kw = dict(decoder_folded=True, encoder_folded=do_fold_encoder,
               decoder_snake_approx=snake_approx,
-              encoder_snake_approx=encode_snake_approx)
+              encoder_snake_approx=encode_snake_approx,
+              encoder_packed=encode_packed)
     if decode_dtype is not None:
         kw["decoder_compute_dtype"] = decode_dtype
     if encode_dtype is not None:
@@ -93,7 +101,8 @@ def make_inference_model(
     return replace(model, **kw), out_params
 
 
-def make_serving_model(model, params) -> Tuple[object, dict]:
+def make_serving_model(model, params, encode_packed: bool = False
+                       ) -> Tuple[object, dict]:
     """The gated max-throughput serving profile ("turbo"): the fast path
     plus polynomial snake in the ENCODER too (live f32 encoder convs).
 
@@ -109,8 +118,13 @@ def make_serving_model(model, params) -> Tuple[object, dict]:
     Deploy behind ``turbo_gate`` on YOUR checkpoint + data: if the gate
     passes, this is the default to serve with; the bit-exact path stays
     one call away (``make_inference_model``).
+
+    ``encode_packed=True`` additionally runs the first encoder stage in
+    the time-packed layout (the measured block_0 lane-occupancy fix) —
+    opt-in until it has a recorded TPU measurement + gate verdict.
     """
-    return make_inference_model(model, params, encode_snake_approx=True)
+    return make_inference_model(model, params, encode_snake_approx=True,
+                                encode_packed=encode_packed)
 
 
 @dataclasses.dataclass
@@ -134,6 +148,7 @@ def turbo_gate(
     min_agreement_db: float = 30.0,
     min_mask_agreement: float = 0.999,
     seed: int = 0,
+    **serving_kwargs,
 ) -> GateResult:
     """Accuracy gate for the turbo serving profile on a given checkpoint.
 
@@ -169,7 +184,8 @@ def turbo_gate(
     clips = jnp.asarray(clips)
 
     exact_m, exact_p = make_inference_model(model, params)
-    turbo_m, turbo_p = make_serving_model(model, params)
+    # serving_kwargs gate a VARIANT serving profile (e.g. encode_packed=True)
+    turbo_m, turbo_p = make_serving_model(model, params, **serving_kwargs)
 
     def _encode(m, p):
         fn = jax.jit(lambda pp, a: m.apply(pp, a, level=level,

@@ -204,6 +204,7 @@ class DAC_MOE(nn.Module):
     encode_precision: Optional[str] = None  # see DAC_VRVQ.encode_precision
     decoder_snake_approx: bool = False  # see DAC_VRVQ.decoder_snake_approx
     encoder_snake_approx: bool = False  # see DAC_VRVQ.encoder_snake_approx
+    encoder_packed: bool = False  # see DAC_VRVQ.encoder_packed
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -241,6 +242,7 @@ class DAC_MOE(nn.Module):
             folded=self.folded or self.encoder_folded,
             precision=self.encode_precision,
             snake_approx=self.encoder_snake_approx,
+            packed=self.encoder_packed,
             name="encoder",
         )
         if self.model_type == "CBR":

@@ -44,20 +44,43 @@ class Encoder(nn.Module):
     # Opt-in polynomial snake in the ENCODER: throughput mode that slightly
     # perturbs latents (and hence a small fraction of code indices).
     snake_approx: bool = False
+    # Run in_conv + block_0 in a time-packed (space-to-depth x2) layout:
+    # the first stage computes at C=d_model (64), half-filling the TPU's
+    # 128 lanes — measured 4.9% MXU / 177 ms of the 295 ms flagship turbo
+    # encode (the single biggest stage). Packing trades 1.4-8.3x MACs on
+    # the dilated convs for full lanes; in_conv emits the packed layout
+    # directly and block_0's strided 'down' conv consumes it, so no
+    # relayout pass and no other stage changes. Same params; summation
+    # order differs at the ulp level -> gated turbo profile only.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_feat: bool = False):
         pad_mode = "zeros" if self.padding else "none"
         x = x.astype(jnp.dtype(self.compute_dtype))
         d = self.d_model
-        x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
-                     folded=self.folded, precision=self.precision,
-                     name="in_conv")(x)
+        use_pack = self.packed
+        if use_pack and (not self.padding or not self.strides
+                         or self.strides[0] != 2 or x.shape[1] % 2):
+            raise ValueError(
+                "packed encoder requires padding=True, strides[0] == 2 and "
+                f"an even input length (got strides={self.strides}, "
+                f"T={x.shape[1]})")
+        if use_pack:
+            x = x.reshape(x.shape[0], x.shape[1] // 2, 2 * x.shape[2])
+            x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
+                         folded=self.folded, precision=self.precision,
+                         time_pack_in=2, time_pack_out=2, name="in_conv")(x)
+        else:
+            x = WNConv1d(1, d, kernel_size=7, padding=3, pad_mode=pad_mode,
+                         folded=self.folded, precision=self.precision,
+                         name="in_conv")(x)
         for i, stride in enumerate(self.strides):
             d *= 2
             x = EncoderBlock(d, stride=stride, padding=self.padding,
                              folded=self.folded, precision=self.precision,
                              snake_approx=self.snake_approx,
+                             time_pack=2 if (use_pack and i == 0) else 1,
                              name=f"block_{i}")(x)
         feat = x
         x = Snake1d(d, approx=self.snake_approx, name="snake")(x)
@@ -154,6 +177,10 @@ class DAC_VRVQ(nn.Module):
     # Encoder-side fast snake: opt-in throughput mode; perturbs latents so a
     # small fraction of code indices change (NOT bit-exact vs CPU/torch).
     encoder_snake_approx: bool = False
+    # Time-packed first encoder stage (see Encoder.packed): serving-profile
+    # layout optimization, same params, ulp-level latent perturbation ->
+    # gate with infer.fast.turbo_gate before defaulting.
+    encoder_packed: bool = False
     # ``encode_precision='highest'`` forces true-f32 convs in the encoder and
     # importance subnet so TPU codes match the CPU/torch-exact path
     # bit-for-bit (JAX's default TPU conv precision uses bf16 MXU multiplies,
@@ -200,6 +227,7 @@ class DAC_VRVQ(nn.Module):
             folded=self.folded or self.encoder_folded,
             precision=self.encode_precision,
             snake_approx=self.encoder_snake_approx,
+            packed=self.encoder_packed,
             name="encoder",
         )
         if self.model_type == "CBR":

@@ -32,6 +32,51 @@ def _kaiming_uniform_bound(fan_in: int) -> float:
     return 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
 
 
+def pack_conv_kernel(w: jnp.ndarray, *, dilation: int, stride: int,
+                     padding: int, pack_in: int, pack_out: int):
+    """Re-express a 1-D conv as a dense conv over a time-packed layout.
+
+    Time-packing (space-to-depth) maps ``x (B, T, C)`` to
+    ``X (B, T/P, P*C)`` with ``X[u, phi*C + i] = x[P*u + phi, i]`` — the
+    layout trick that fills the TPU's 128-wide lane dimension when C is
+    small (the flagship encoder's first stage runs at C=64, half-empty
+    lanes: measured 4.9% MXU / 177 ms of the 295 ms turbo encode, the
+    single largest stage in the model; see BASELINE.md roofline).
+
+    Given the effective WIO kernel ``w (k, cin, cout)`` of a conv with
+    ``dilation/stride/padding`` on the UNPACKED sequence, returns
+    ``(Kp, lo, hi)`` such that
+
+      ``conv(X, Kp, stride=1, padding=[(lo, hi + U' - U)])``
+
+    (with ``U = T/pack_in`` input and ``U' = T_out/pack_out`` output
+    columns) computes exactly the same sums as the original conv, with the
+    outputs packed by ``pack_out``. Requires ``pack_in == pack_out*stride``
+    (each packed output column consumes a whole packed input column).
+    The packed kernel is dense with structured zeros — 1.4-8.3x the MACs
+    of the original at the flagship's dilations, traded for ~an order of
+    magnitude better MXU occupancy at C<=64.
+    """
+    k, cin, cout = w.shape
+    P, Q = pack_in, pack_out
+    if P != Q * stride:
+        raise ValueError(f"pack_in ({P}) must equal pack_out*stride "
+                         f"({Q}*{stride})")
+    taus = [(psi * stride + j * dilation - padding) // P
+            for psi in range(Q) for j in range(k)]
+    tau_min, tau_max = min(taus), max(taus)
+    n_taps = tau_max - tau_min + 1
+    Kp = jnp.zeros((n_taps, P * cin, Q * cout), w.dtype)
+    for psi in range(Q):
+        for j in range(k):
+            m = psi * stride + j * dilation - padding
+            tau, phi = m // P, m % P
+            Kp = Kp.at[tau - tau_min,
+                       phi * cin:(phi + 1) * cin,
+                       psi * cout:(psi + 1) * cout].set(w[j])
+    return Kp, -tau_min, tau_max
+
+
 class WNConv1d(nn.Module):
     """Weight-normalized 1-D convolution, channels-last.
 
@@ -56,6 +101,14 @@ class WNConv1d(nn.Module):
     # the CPU/torch-exact path bit-for-bit (default TPU precision flips
     # ~2.5% of flagship code indices; see models.DAC_VRVQ.encode_precision).
     precision: Optional[str] = None
+    # Time-packed (space-to-depth) apply: input arrives as (B, T/P, P*cin),
+    # output leaves as (B, T_out/Q, Q*cout), with pack_in == pack_out*stride
+    # (see pack_conv_kernel). Param shapes are UNCHANGED — the same
+    # checkpoint drives both layouts. Summation order differs at the ulp
+    # level, so packed encoders belong to the gated turbo profile, not the
+    # bit-exact path. pack_in == pack_out == 1 is the normal layout.
+    time_pack_in: int = 1
+    time_pack_out: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,6 +150,33 @@ class WNConv1d(nn.Module):
             )
             norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
             w = v * (g_param[None, None, :] / jnp.maximum(norm, 1e-32))
+
+        P, Q = self.time_pack_in, self.time_pack_out
+        if P != 1 or Q != 1:
+            if self.pad_mode != "zeros" or g != 1:
+                raise ValueError("time-packed conv requires zero padding "
+                                 "and groups == 1")
+            Kp, lo, tau_max = pack_conv_kernel(
+                w, dilation=self.dilation, stride=self.stride,
+                padding=self.padding, pack_in=P, pack_out=Q)
+            T = x.shape[1] * P
+            t_out = (T + 2 * self.padding
+                     - (k - 1) * self.dilation - 1) // self.stride + 1
+            if t_out % Q:
+                raise ValueError(f"packed output length {t_out} not a "
+                                 f"multiple of pack_out {Q}")
+            hi = tau_max + (t_out // Q - x.shape[1])
+            y = jax.lax.conv_general_dilated(
+                x, Kp.astype(x.dtype), window_strides=(1,),
+                padding=[(lo, hi)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32,
+                precision=self.precision,
+            )
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (cout,))
+                y = y + jnp.tile(b, Q).astype(y.dtype)
+            return y.astype(x.dtype)
 
         pad = [(self.padding, self.padding)] if self.pad_mode == "zeros" else [(0, 0)]
         # NB: do NOT lower 1x1 convs to dot_general. Standalone the dot is
@@ -213,10 +293,16 @@ class Snake1d(nn.Module):
     # rounding). Decoder default in the fast path; encoder opt-in only,
     # since it is not structurally bit-identical to the exact snake.
     approx: bool = False
+    # Time-packed layout (see WNConv1d.time_pack_in): x is (B, T/P, P*C);
+    # packed channel phi*C + i carries channel i, so alpha is tiled P times.
+    # The alpha param shape stays (channels,) — checkpoint-compatible.
+    time_pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alpha = self.param("alpha", nn.initializers.ones, (self.channels,))
+        if self.time_pack != 1:
+            alpha = jnp.tile(alpha, self.time_pack)
         if self.approx:
             return snake_approx(x, alpha)
         return snake(x, alpha.astype(x.dtype))
@@ -237,20 +323,28 @@ class ResidualUnit(nn.Module):
     folded: bool = False
     precision: Optional[str] = None
     snake_approx: bool = False  # decoder-side fast snake (see Snake1d.approx)
+    time_pack: int = 1  # time-packed layout (padding=True only); params unchanged
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = ((7 - 1) * self.dilation) // 2
         pad_mode = "zeros" if self.padding else "none"
-        y = Snake1d(self.dim, approx=self.snake_approx, name="snake1")(x)
+        tp = self.time_pack
+        if tp != 1 and not self.padding:
+            raise ValueError("time-packed ResidualUnit requires padding=True")
+        y = Snake1d(self.dim, approx=self.snake_approx, time_pack=tp,
+                    name="snake1")(x)
         y = WNConv1d(
             self.dim, self.dim, kernel_size=7, dilation=self.dilation,
             padding=pad, pad_mode=pad_mode, folded=self.folded,
-            precision=self.precision, name="conv1",
+            precision=self.precision, time_pack_in=tp, time_pack_out=tp,
+            name="conv1",
         )(y)
-        y = Snake1d(self.dim, approx=self.snake_approx, name="snake2")(y)
+        y = Snake1d(self.dim, approx=self.snake_approx, time_pack=tp,
+                    name="snake2")(y)
         y = WNConv1d(self.dim, self.dim, kernel_size=1, folded=self.folded,
-                     precision=self.precision, name="conv2")(y)
+                     precision=self.precision, time_pack_in=tp,
+                     time_pack_out=tp, name="conv2")(y)
         crop = (x.shape[1] - y.shape[1]) // 2
         if crop > 0:
             x = x[:, crop:-crop, :]
@@ -270,18 +364,28 @@ class EncoderBlock(nn.Module):
     folded: bool = False
     precision: Optional[str] = None
     snake_approx: bool = False  # opt-in fast snake (changes codes slightly)
+    # Time-packed layout: input (B, T/tp, tp*half); the strided 'down' conv
+    # consumes the packing (requires tp == stride) and emits the normal
+    # (B, T/stride, dim) layout, so downstream blocks are untouched.
+    time_pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         half = self.dim // 2
         pad_mode = "zeros" if self.padding else "none"
+        tp = self.time_pack
+        if tp != 1 and tp != self.stride:
+            raise ValueError("time-packed EncoderBlock requires "
+                             "time_pack == stride (packed output would "
+                             "otherwise leak into the next block)")
         for i, dilation in enumerate((1, 3, 9)):
             x = ResidualUnit(
                 half, dilation=dilation, padding=self.padding,
                 folded=self.folded, precision=self.precision,
-                snake_approx=self.snake_approx, name=f"res{i}",
+                snake_approx=self.snake_approx, time_pack=tp, name=f"res{i}",
             )(x)
-        x = Snake1d(half, approx=self.snake_approx, name="snake")(x)
+        x = Snake1d(half, approx=self.snake_approx, time_pack=tp,
+                    name="snake")(x)
         x = WNConv1d(
             half, self.dim,
             kernel_size=2 * self.stride,
@@ -290,6 +394,8 @@ class EncoderBlock(nn.Module):
             pad_mode=pad_mode,
             folded=self.folded,
             precision=self.precision,
+            time_pack_in=tp,
+            time_pack_out=1,
             name="down",
         )(x)
         return x
