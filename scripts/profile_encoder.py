@@ -48,6 +48,25 @@ PEAK_FLOPS = 197e12   # v5e bf16 MXU
 PEAK_BYTES = 819e9    # v5e HBM bandwidth
 
 
+class _PackedFront(nn.Module):
+    """in_conv + block_0 in the time-packed (space-to-depth x2) layout —
+    the lane-occupancy fix for the measured block_0 bottleneck (4.9% MXU
+    at C=64; see nn/layers.pack_conv_kernel). Compare this row against
+    the sum of the unpacked in_conv + block_0 rows."""
+    d_model: int
+    stride: int
+    snake_approx: bool
+
+    @nn.compact
+    def __call__(self, x):  # raw audio (B, T, 1)
+        x = x.reshape(x.shape[0], x.shape[1] // 2, 2)
+        x = WNConv1d(1, self.d_model, kernel_size=7, padding=3,
+                     time_pack_in=2, time_pack_out=2, name="in_conv")(x)
+        return EncoderBlock(2 * self.d_model, stride=self.stride,
+                            snake_approx=self.snake_approx, time_pack=2,
+                            name="block_0")(x)
+
+
 class _EncHead(nn.Module):
     """Encoder tail: Snake -> k=3 out conv (dac_vrvq.Encoder tail)."""
     dim: int
@@ -83,9 +102,11 @@ def _fetch(x):
 
 
 def _time_stage(apply_fn, params, x, reps_lo=2, reps_hi=10, iters=3):
-    # huge stages: shorter chains — the scan keeps x0 + one body instance
-    # of temps live, and the full-rate f32 blocks OOM 16 GB HBM at R=10
-    if x.size * x.dtype.itemsize > 1.5e9:
+    # big stages: shorter chains — the scan keeps x0 + one body instance
+    # of temps live; the full-rate f32 blocks OOM 16 GB HBM at R=10, and
+    # dec/block_3 (bf16 1.35 GB input, 2x upsample inside) OOMed at the
+    # old 1.5 GB threshold too
+    if x.size * x.dtype.itemsize > 0.9e9:
         reps_lo, reps_hi = 1, 4
     lo = _chain(apply_fn, params, x, reps_lo)
     hi = _chain(apply_fn, params, x, reps_hi)
@@ -152,14 +173,18 @@ def profile(batch=16, seconds=10.0, d_model=64, strides=(2, 4, 8, 8),
         return y
 
     # ---- encoder stages (turbo profile: live f32 convs, poly snake) ----
-    x = jnp.asarray(rng.randn(batch, n, 1).astype(np.float32) * 0.1)
+    x_raw = jnp.asarray(rng.randn(batch, n, 1).astype(np.float32) * 0.1)
     x = add("enc/in_conv k7 1->%d" % d_model,
-            WNConv1d(1, d_model, kernel_size=7, padding=3), x)
+            WNConv1d(1, d_model, kernel_size=7, padding=3), x_raw)
     d = d_model
     for i, s in enumerate(strides):
         d *= 2
         x = add(f"enc/block_{i} s{s} ->{d}ch",
                 EncoderBlock(d, stride=s, snake_approx=snake_approx), x)
+        if i == 0 and s == 2:
+            # packed alternative for the same work (vs in_conv + block_0)
+            add(f"enc/in+block_0 PACKED ->{d}ch",
+                _PackedFront(d_model, s, snake_approx), x_raw)
     add(f"enc/tail snake+k3 {d}->{latent_dim}",
         _EncHead(d, latent_dim, snake_approx), x)
 
