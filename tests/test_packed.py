@@ -16,10 +16,13 @@ import numpy as np
 import pytest
 
 from vrvq_tpu.nn.layers import (
+    DecoderBlock,
     EncoderBlock,
     ResidualUnit,
     WNConv1d,
+    WNConvTranspose1d,
     pack_conv_kernel,
+    pack_convtranspose_kernel,
 )
 
 
@@ -71,6 +74,130 @@ def test_pack_conv_kernel_matches_conv(k, dilation, stride, padding,
             pack_conv_kernel(w, dilation=dilation, stride=stride,
                              padding=padding, pack_in=pack_in,
                              pack_out=pack_out)
+
+
+@pytest.mark.parametrize(
+    "k,stride,padding,pack_in",
+    [
+        (4, 2, 1, 1),    # flagship dec block_3 'up' (k=2s, p=ceil(s/2))
+        (8, 4, 2, 1),    # dec block_2 'up'
+        (16, 8, 4, 1),   # dec block_0/1 'up'
+        (4, 2, 1, 4),    # chained: block_3 fed by a packed block_2
+        (8, 4, 2, 2),    # deeper chains
+    ],
+)
+def test_pack_convtranspose_kernel_matches(k, stride, padding, pack_in):
+    """Packed transposed conv == torch-semantics transposed conv
+    (lhs-dilated conv), same params, up to f32 summation-order ulps."""
+    cin, cout, B = 6, 10, 2
+    T = 96  # unpacked input length
+    kw, kx = jax.random.split(jax.random.PRNGKey(hash((k, stride, pack_in))
+                                                 % (2 ** 31)))
+    w = _rand(kw, (cin, cout, k))  # torch ConvTranspose1d layout
+    x = _rand(kx, (B, T, cin))
+
+    # reference: the module's own unpacked lowering (flipped kernel,
+    # lhs_dilation) — itself parity-tested vs torch in test_parity_torch
+    w_ref = jnp.flip(w, axis=2).transpose(2, 0, 1)
+    ref = jax.lax.conv_general_dilated(
+        x, w_ref, window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,), dimension_numbers=("NWC", "WIO", "NWC"))
+
+    P, Q = pack_in, pack_in * stride
+    Kp, lo, tau_min = pack_convtranspose_kernel(
+        w, stride=stride, padding=padding, pack_in=P, pack_out=Q)
+    X = x.reshape(B, T // P, P * cin)
+    t_out = (T - 1) * stride - 2 * padding + k
+    assert t_out % Q == 0
+    hi = t_out // Q - X.shape[1] - tau_min
+    Y = jax.lax.conv_general_dilated(
+        X, Kp, window_strides=(1,), padding=[(lo, hi)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    got = Y.reshape(B, -1, cout)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pack_convtranspose_kernel_rejects_bad_packing():
+    w = jnp.zeros((4, 4, 4))
+    with pytest.raises(ValueError, match="pack_out"):
+        pack_convtranspose_kernel(w, stride=2, padding=1,
+                                  pack_in=1, pack_out=4)
+
+
+def test_packed_wnconvtranspose_module_matches():
+    x = _rand(jax.random.PRNGKey(7), (2, 64, 6))
+    normal = WNConvTranspose1d(6, 10, kernel_size=4, stride=2, padding=1)
+    packed = WNConvTranspose1d(6, 10, kernel_size=4, stride=2, padding=1,
+                               time_pack_in=1, time_pack_out=2)
+    params = normal.init(jax.random.PRNGKey(0), x)
+    y_n = normal.apply(params, x)
+    y_p = packed.apply(params, x).reshape(y_n.shape)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_n),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_decoder_block_matches():
+    x = _rand(jax.random.PRNGKey(8), (2, 64, 16))
+    normal = DecoderBlock(16, 8, stride=2)
+    packed = DecoderBlock(16, 8, stride=2, packed=True)
+    params = normal.init(jax.random.PRNGKey(0), x)
+    y_n = normal.apply(params, x)
+    y_p = packed.apply(params, x)  # (B, T/2, 2*8)
+    y_p = y_p.reshape(y_n.shape)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_n),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_decoder_block_chains():
+    """A packed block's output feeds the next packed block directly."""
+    x = _rand(jax.random.PRNGKey(9), (2, 32, 16))
+    n0, n1 = DecoderBlock(16, 8, stride=4), DecoderBlock(8, 4, stride=2)
+    p0 = DecoderBlock(16, 8, stride=4, packed=True)
+    p1 = DecoderBlock(8, 4, stride=2, packed=True, time_pack_in=4)
+    params0 = n0.init(jax.random.PRNGKey(0), x)
+    y_n = n0.apply(params0, x)
+    params1 = n1.init(jax.random.PRNGKey(1), y_n)
+    z_n = n1.apply(params1, y_n)
+    y_p = p0.apply(params0, x)          # (B, T*4/4, 4*8)
+    z_p = p1.apply(params1, y_p)        # (B, T*8/8, 8*4)
+    z_p = z_p.reshape(z_n.shape)
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_n),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("packed_blocks", [1, 2])
+def test_packed_decoder_model_matches(tiny_model, packed_blocks):
+    """Full Decoder with packed tail: same decode, ulp-level waveform."""
+    from dataclasses import replace
+
+    model, params, x = tiny_model
+    out_n = model.apply(params, x, level=1.0)
+    packed = replace(model, decoder_packed=packed_blocks)
+    out_p = packed.apply(params, x, level=1.0)
+    # codes must be BIT-identical: the encoder/quantizer are untouched
+    np.testing.assert_array_equal(np.asarray(out_p["codes"]),
+                                  np.asarray(out_n["codes"]))
+    np.testing.assert_allclose(np.asarray(out_p["audio"]),
+                               np.asarray(out_n["audio"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_make_inference_model_decode_packed(tiny_model):
+    from vrvq_tpu.infer.fast import make_inference_model
+
+    model, params, x = tiny_model
+    fast_m, fast_p = make_inference_model(model, params, decode_packed=1)
+    assert fast_m.decoder_packed == 1
+    out = fast_m.apply(fast_p, x, level=1.0)
+    ref_m, ref_p = make_inference_model(model, params)
+    ref = ref_m.apply(ref_p, x, level=1.0)
+    # folded bf16 decoder both sides: identical up to bf16-level reorder
+    np.testing.assert_allclose(np.asarray(out["audio"]),
+                               np.asarray(ref["audio"]),
+                               rtol=1e-2, atol=3e-3)
 
 
 def test_pack_conv_kernel_rejects_bad_packing():

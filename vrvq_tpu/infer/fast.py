@@ -43,6 +43,7 @@ def make_inference_model(
     encode_snake_approx: bool = False,
     fold_encoder: bool = False,
     encode_packed: bool = False,
+    decode_packed: int = 0,
 ) -> Tuple[object, dict]:
     """Prepare a model+params pair for fast inference.
 
@@ -70,6 +71,11 @@ def make_inference_model(
         Same params; ulp-level latent perturbation (conv summation order),
         so codes are NOT bit-exact vs the live model: gate with
         ``turbo_gate`` on your checkpoint before serving with it.
+      decode_packed: number of trailing DecoderBlocks (+ the decoder tail)
+        run in the time-packed layout (nn/layers.pack_convtranspose_kernel)
+        — the decoder-side lane-occupancy fix (the tail computes at C=96
+        over the full audio rate). Codes are UNTOUCHED (encoder/quantizer
+        unchanged); the decoded waveform shifts at the ulp level only.
 
     Returns ``(model', params')``; the quantizer subtree is never touched.
     """
@@ -93,7 +99,8 @@ def make_inference_model(
     kw = dict(decoder_folded=True, encoder_folded=do_fold_encoder,
               decoder_snake_approx=snake_approx,
               encoder_snake_approx=encode_snake_approx,
-              encoder_packed=encode_packed)
+              encoder_packed=encode_packed,
+              decoder_packed=decode_packed)
     if decode_dtype is not None:
         kw["decoder_compute_dtype"] = decode_dtype
     if encode_dtype is not None:
@@ -101,8 +108,8 @@ def make_inference_model(
     return replace(model, **kw), out_params
 
 
-def make_serving_model(model, params, encode_packed: bool = False
-                       ) -> Tuple[object, dict]:
+def make_serving_model(model, params, encode_packed: bool = False,
+                       decode_packed: int = 0) -> Tuple[object, dict]:
     """The gated max-throughput serving profile ("turbo"): the fast path
     plus polynomial snake in the ENCODER too (live f32 encoder convs).
 
@@ -124,7 +131,8 @@ def make_serving_model(model, params, encode_packed: bool = False
     opt-in until it has a recorded TPU measurement + gate verdict.
     """
     return make_inference_model(model, params, encode_snake_approx=True,
-                                encode_packed=encode_packed)
+                                encode_packed=encode_packed,
+                                decode_packed=decode_packed)
 
 
 @dataclasses.dataclass

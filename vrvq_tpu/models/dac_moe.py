@@ -205,6 +205,7 @@ class DAC_MOE(nn.Module):
     decoder_snake_approx: bool = False  # see DAC_VRVQ.decoder_snake_approx
     encoder_snake_approx: bool = False  # see DAC_VRVQ.encoder_snake_approx
     encoder_packed: bool = False  # see DAC_VRVQ.encoder_packed
+    decoder_packed: int = 0  # see DAC_VRVQ.decoder_packed
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -279,6 +280,7 @@ class DAC_MOE(nn.Module):
             compute_dtype=self.decoder_compute_dtype or self.compute_dtype,
             folded=self.folded or self.decoder_folded,
             snake_approx=self.decoder_snake_approx,
+            packed_blocks=self.decoder_packed,
             name="decoder",
         )
 

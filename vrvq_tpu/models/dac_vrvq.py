@@ -108,26 +108,46 @@ class Decoder(nn.Module):
     compute_dtype: str = "float32"
     folded: bool = False  # params hold pre-folded kernels (nn/fold.py)
     snake_approx: bool = False  # fast polynomial snake (see Snake1d.approx)
+    # Run the last ``packed_blocks`` DecoderBlocks + the tail in the
+    # time-packed layout (nn/layers.pack_convtranspose_kernel): the tail
+    # stages compute at C<=128 over the FULL audio rate — under-filled
+    # lanes, the decoder-side analog of the encoder's measured block_0
+    # bottleneck. Packing grows through each upsampling block (x stride),
+    # so packed_blocks=1 runs the C=96 region at 2x96 lanes over T/2.
+    # Same params; ulp-level summation reorder -> gated profiles only.
+    packed_blocks: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad_mode = "zeros" if self.padding else "none"
+        if self.packed_blocks and not self.padding:
+            raise ValueError("packed decoder requires padding=True")
         x = x.astype(jnp.dtype(self.compute_dtype))
         x = WNConv1d(self.input_channel, self.channels, kernel_size=7,
                      padding=3, pad_mode=pad_mode, folded=self.folded,
                      name="in_conv")(x)
         output_dim = self.channels
+        n_blocks = len(self.rates)
+        pack = 1
         for i, stride in enumerate(self.rates):
             input_dim = self.channels // (2 ** i)
             output_dim = self.channels // (2 ** (i + 1))
+            packed = i >= n_blocks - self.packed_blocks
             x = DecoderBlock(input_dim, output_dim, stride,
                              padding=self.padding, folded=self.folded,
                              snake_approx=self.snake_approx,
+                             packed=packed, time_pack_in=pack,
                              name=f"block_{i}")(x)
-        x = Snake1d(output_dim, approx=self.snake_approx, name="snake")(x)
+            if packed:
+                pack *= stride
+        x = Snake1d(output_dim, approx=self.snake_approx, time_pack=pack,
+                    name="snake")(x)
         x = WNConv1d(output_dim, self.d_out, kernel_size=7, padding=3,
                      pad_mode=pad_mode, folded=self.folded,
+                     time_pack_in=pack, time_pack_out=pack,
                      name="out_conv")(x)
+        if pack != 1:  # unpack (B, T/pack, pack*d_out) -> (B, T, d_out)
+            x = x.reshape(x.shape[0], x.shape[1] * pack, self.d_out)
         return jnp.tanh(x).astype(jnp.float32)
 
 
@@ -181,6 +201,11 @@ class DAC_VRVQ(nn.Module):
     # layout optimization, same params, ulp-level latent perturbation ->
     # gate with infer.fast.turbo_gate before defaulting.
     encoder_packed: bool = False
+    # Time-packed decoder tail (see Decoder.packed_blocks): number of
+    # trailing DecoderBlocks (+ the snake/out-conv tail) run in the packed
+    # layout. Same params; only the decode waveform shifts at the ulp
+    # level (codes are untouched) -> gated serving profiles.
+    decoder_packed: int = 0
     # ``encode_precision='highest'`` forces true-f32 convs in the encoder and
     # importance subnet so TPU codes match the CPU/torch-exact path
     # bit-for-bit (JAX's default TPU conv precision uses bf16 MXU multiplies,
@@ -265,6 +290,7 @@ class DAC_VRVQ(nn.Module):
             compute_dtype=self.decoder_compute_dtype or self.compute_dtype,
             folded=self.folded or self.decoder_folded,
             snake_approx=self.decoder_snake_approx,
+            packed_blocks=self.decoder_packed,
             name="decoder",
         )
 

@@ -77,6 +77,58 @@ def pack_conv_kernel(w: jnp.ndarray, *, dilation: int, stride: int,
     return Kp, -tau_min, tau_max
 
 
+def pack_convtranspose_kernel(w: jnp.ndarray, *, stride: int, padding: int,
+                              pack_in: int, pack_out: int):
+    """Re-express a transposed 1-D conv as a dense conv over time-packed
+    layouts (the decoder-side analog of :func:`pack_conv_kernel`).
+
+    A transposed conv UPsamples, so packing grows through it:
+    ``pack_out == pack_in * stride`` (each packed input column fans out to a
+    whole packed output column). This is the sub-pixel / depth-to-space
+    trick: the flagship decoder's tail runs at C=96 over the full audio rate
+    (441k samples at b16 x 10 s) — under-filled 128-wide lanes, the same
+    geometry as the encoder's measured block_0 bottleneck — and packing the
+    tail computes at C=pack*96 over T/pack instead, same parameters.
+
+    Given the torch-layout kernel ``w (cin, cout, k)`` of a
+    ``ConvTranspose1d(stride, padding)``, returns ``(Kp, lo, tau_min)``
+    such that with ``U`` packed input columns and
+    ``U' = T_out/pack_out`` packed output columns (``T_out =
+    (U*pack_in - 1)*stride - 2*padding + k``),
+
+      ``conv(X, Kp, stride=1, padding=[(lo, U' - U - tau_min)])``
+
+    computes exactly the transposed conv's sums with outputs packed by
+    ``pack_out``.
+
+    Derivation: y[t, o] = sum_{j,c} x[u, c] w[c, o, j] over t = u*stride -
+    padding + j. With X[v, pi*cin+c] = x[v*P+pi, c] and Y[u', psi*cout+o] =
+    y[u'*Q+psi, o], substituting u = v*P + pi gives t = v*Q + m with
+    m = pi*stride + j - padding, so the (pi, j) tap lands at column offset
+    tau = m // Q, output phase psi = m % Q.
+    """
+    cin, cout, k = w.shape
+    P, Q = pack_in, pack_out
+    if Q != P * stride:
+        raise ValueError(f"pack_out ({Q}) must equal pack_in*stride "
+                         f"({P}*{stride})")
+    taus = [(pi * stride + j - padding) // Q
+            for pi in range(P) for j in range(k)]
+    tau_min, tau_max = min(taus), max(taus)
+    n_taps = tau_max - tau_min + 1
+    Kp = jnp.zeros((n_taps, P * cin, Q * cout), w.dtype)
+    for pi in range(P):
+        for j in range(k):
+            m = pi * stride + j - padding
+            tau, psi = m // Q, m % Q
+            # conv computes y[u'] = sum_d X[u' + d - lo] K[d]; the term
+            # X[u' - tau] needs d = lo - tau with lo = tau_max.
+            Kp = Kp.at[tau_max - tau,
+                       pi * cin:(pi + 1) * cin,
+                       psi * cout:(psi + 1) * cout].set(w[:, :, j])
+    return Kp, tau_max, tau_min
+
+
 class WNConv1d(nn.Module):
     """Weight-normalized 1-D convolution, channels-last.
 
@@ -227,6 +279,12 @@ class WNConvTranspose1d(nn.Module):
     pad_mode: str = "zeros"  # 'zeros' | 'none' (streaming: padding=0)
     folded: bool = False  # inference: params carry the effective kernel 'w'
     precision: Optional[str] = None  # see WNConv1d.precision
+    # Time-packed apply (see pack_convtranspose_kernel): input arrives as
+    # (B, T/P, P*cin), output leaves as (B, T_out/Q, Q*cout) with
+    # pack_out == pack_in*stride (upsampling GROWS the packing). Param
+    # shapes unchanged; ulp-level summation reorder -> gated profiles only.
+    time_pack_in: int = 1
+    time_pack_out: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -259,6 +317,32 @@ class WNConvTranspose1d(nn.Module):
             )
             norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
             w = v * (g_param[:, None, None] / jnp.maximum(norm, 1e-32))
+
+        P, Q = self.time_pack_in, self.time_pack_out
+        if P != 1 or Q != 1:
+            if self.pad_mode != "zeros":
+                raise ValueError(
+                    "time-packed transposed conv requires zero padding")
+            Kp, lo, tau_min = pack_convtranspose_kernel(
+                w, stride=self.stride, padding=self.padding,
+                pack_in=P, pack_out=Q)
+            t_out = (x.shape[1] * P - 1) * self.stride - 2 * self.padding + k
+            if t_out % Q:
+                raise ValueError(f"packed output length {t_out} not a "
+                                 f"multiple of pack_out {Q}")
+            hi = t_out // Q - x.shape[1] - tau_min
+            y = jax.lax.conv_general_dilated(
+                x, Kp.astype(x.dtype), window_strides=(1,),
+                padding=[(lo, hi)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32,
+                precision=self.precision,
+            )
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (cout,))
+                y = y + jnp.tile(b, Q).astype(y.dtype)
+            return y.astype(x.dtype)
+
         # (in, out, k) -> flipped WIO (k, in, out)
         w = jnp.flip(w, axis=2).transpose(2, 0, 1)
 
@@ -413,11 +497,26 @@ class DecoderBlock(nn.Module):
     padding: bool = True
     folded: bool = False
     snake_approx: bool = False  # decoder-side fast snake (see Snake1d.approx)
+    # Time-packed layout (``packed=True``): input (B, T/P, P*input_dim)
+    # with P = time_pack_in (P=1 accepts the normal layout); the 'up'
+    # transposed conv GROWS the packing to Q = P*stride (upsampling packs
+    # more phases per column) and the ResidualUnits run packed at Q. Output
+    # is (B, T_out/Q, Q*output_dim) — unpack with a reshape, or chain into
+    # another packed block / the packed decoder tail. Params unchanged.
+    packed: bool = False
+    time_pack_in: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad_mode = "zeros" if self.padding else "none"
-        x = Snake1d(self.input_dim, approx=self.snake_approx, name="snake")(x)
+        tp_in = self.time_pack_in
+        tp_out = tp_in * self.stride if self.packed else 1
+        if tp_in != 1 and not self.packed:
+            raise ValueError("time_pack_in != 1 requires packed=True")
+        if self.packed and not self.padding:
+            raise ValueError("time-packed DecoderBlock requires padding=True")
+        x = Snake1d(self.input_dim, approx=self.snake_approx,
+                    time_pack=tp_in, name="snake")(x)
         x = WNConvTranspose1d(
             self.input_dim, self.output_dim,
             kernel_size=2 * self.stride,
@@ -425,13 +524,15 @@ class DecoderBlock(nn.Module):
             padding=math.ceil(self.stride / 2),
             pad_mode=pad_mode,
             folded=self.folded,
+            time_pack_in=tp_in,
+            time_pack_out=tp_out,
             name="up",
         )(x)
         for i, dilation in enumerate((1, 3, 9)):
             x = ResidualUnit(
                 self.output_dim, dilation=dilation, padding=self.padding,
                 folded=self.folded, snake_approx=self.snake_approx,
-                name=f"res{i}",
+                time_pack=tp_out, name=f"res{i}",
             )(x)
         return x
 
