@@ -80,6 +80,22 @@ class _EncHead(nn.Module):
                         name="out_conv")(x)
 
 
+class _DecHead(nn.Module):
+    """Decoder tail: Snake -> k=7 out conv -> tanh (dac_vrvq.Decoder tail).
+    Runs at C=dim (flagship: 96) over the FULL audio rate — the same
+    half-empty-lane geometry as the encoder's block_0."""
+    dim: int
+    d_out: int
+    snake_approx: bool
+
+    @nn.compact
+    def __call__(self, x):
+        x = Snake1d(self.dim, approx=self.snake_approx, name="snake")(x)
+        x = WNConv1d(self.dim, self.d_out, kernel_size=7, padding=3,
+                     name="out_conv")(x)
+        return jnp.tanh(x)
+
+
 def _chain(apply_fn, params, x, reps: int):
     """R applications of ``apply_fn`` inside one jit; per-iteration input
     rescale defeats CSE; a strided-slice reduction keeps the fetch tiny."""
@@ -200,6 +216,8 @@ def profile(batch=16, seconds=10.0, d_model=64, strides=(2, 4, 8, 8),
         out_d = decoder_dim // (2 ** (i + 1))
         z = add(f"dec/block_{i} r{r} {in_d}->{out_d}",
                 DecoderBlock(in_d, out_d, r, snake_approx=snake_approx), z)
+    tail_d = decoder_dim // (2 ** len(decoder_rates))
+    add(f"dec/tail snake+k7 {tail_d}->1", _DecHead(tail_d, 1, snake_approx), z)
     return rows
 
 

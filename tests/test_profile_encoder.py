@@ -47,12 +47,18 @@ def test_profile_rows_consistent(prof):
     rows = prof.profile(batch=1, seconds=0.05, d_model=8, strides=(2, 4, 8, 8),
                         latent_dim=16, decoder_dim=32,
                         snake_approx=True, seed=0)
-    # encoder: in_conv + 4 blocks + tail; decoder: in_conv + 4 blocks
-    assert len(rows) == 6 + 5
     names = [r["stage"] for r in rows]
-    assert names[0].startswith("enc/in_conv")
-    assert names[5].startswith("enc/tail")
-    assert names[6].startswith("dec/in_conv")
+    # Derive the expected set structurally (a hard-coded count hid the
+    # round-3 PACKED-row regression): per conv-stack stage plus the
+    # packed-layout comparison rows.
+    expected_prefixes = (
+        ["enc/in_conv"] + [f"enc/block_{i}" for i in range(4)]
+        + ["enc/in+block_0 PACKED", "enc/tail", "dec/in_conv"]
+        + [f"dec/block_{i}" for i in range(4)] + ["dec/tail"]
+    )
+    assert len(names) == len(expected_prefixes)
+    for pref in expected_prefixes:
+        assert any(n.startswith(pref) for n in names), f"missing row {pref}"
     for r in rows:
         # sub-10 us stages round to 0.00 ms at tiny scale; raw dt is
         # clamped positive inside _time_stage
