@@ -310,6 +310,130 @@ def test_generator_full_loss_grads_match_torch(gen_pair, disc_pair):
     _assert_close(errs, tol=5e-3)
 
 
+def test_generator_train_mode_grads_match_torch():
+    """TRAIN-mode gradient parity: the stochastic branch training actually
+    uses — random level sampling, the imp/dropout/full-codebook batch
+    partition, quantizer dropout (reference models/quantize.py:375-414).
+    Both frameworks' random draws are pinned to identical values by
+    monkeypatching the samplers (torch.rand/randint and
+    jax.random.uniform/randint), so every mask and level matches and the
+    gradients must agree leaf-for-leaf."""
+    from dataclasses import replace
+
+    kw = dict(SMALL, quantizer_dropout=0.25, full_codebook_rate=0.25)
+    tmodel, jmodel, params = _make_pair(29, **kw)
+    jmodel = replace(jmodel, quantizer_dropout=0.25, full_codebook_rate=0.25)
+    tmodel.train()
+
+    bs = 4  # partition: 2 imp-masked, 1 random-depth dropout, 1 full
+    clips = [_test_audio(0.14, seed=s) for s in (17, 23, 31, 47)]
+    x = np.concatenate(clips, axis=0)
+    x = x[..., : x.shape[-1] // HOP * HOP]
+    xt = torch.tensor(x)
+    xj = jnp.asarray(x)
+
+    # Pinned draws: U -> per-clip level in [level_min, level_max];
+    # DEPTHS -> the dropout rows' codebook depths.
+    U = np.array([0.13, 0.55, 0.92, 0.31], np.float32).reshape(bs, 1, 1)
+    DEPTHS = np.array([2, 3, 1, 4], np.int64).reshape(bs, 1, 1)
+
+    real_rand, real_randint = torch.rand, torch.randint
+
+    def fake_rand(*args, **kwargs):
+        shape = args[0] if len(args) == 1 and isinstance(args[0], tuple) \
+            else tuple(args)
+        if shape == (bs, 1, 1):
+            return torch.tensor(U)
+        return real_rand(*args, **kwargs)
+
+    def fake_randint(low, high, size=None, **kwargs):
+        if size == (bs, 1, 1):
+            return torch.tensor(DEPTHS)
+        return real_randint(low, high, size, **kwargs)
+
+    real_j_uniform, real_j_randint = jax.random.uniform, jax.random.randint
+
+    def fake_j_uniform(key, shape=(), *args, **kwargs):
+        # the level draw is the only (bs, 1, 1) uniform in the model; all
+        # other call sites (param initializers under flax eval_shape, other
+        # samplers) pass through untouched
+        if tuple(shape) == (bs, 1, 1):
+            dtype = args[0] if args else kwargs.get("dtype", jnp.float32)
+            return jnp.asarray(U, dtype)
+        return real_j_uniform(key, shape, *args, **kwargs)
+
+    def fake_j_randint(key, shape, *args, **kwargs):
+        if tuple(shape)[1:] == (1, 1) and tuple(shape)[0] <= bs:
+            return jnp.asarray(DEPTHS[: tuple(shape)[0]])
+        return real_j_randint(key, shape, *args, **kwargs)
+
+    torch.rand, torch.randint = fake_rand, fake_randint
+    jax.random.uniform, jax.random.randint = fake_j_uniform, fake_j_randint
+    try:
+        # ---- torch train-mode forward/backward (recon + vq + rate: the
+        # discriminator path's parity is covered by the eval-mode test;
+        # dropping it here keeps the CPU backward tractable)
+        tout = tmodel(xt, SR)
+        recons = tout["audio"]
+        total_t = (
+            15.0 * t_mel_loss(recons, xt)
+            + 1.0 * t_multiscale_stft_loss(recons, xt)
+            + 10.0 * torch.nn.functional.l1_loss(recons, xt)
+            + 0.25 * tout["vq/commitment_loss"]
+            + 1.0 * tout["vq/codebook_loss"]
+            + 2.0 * tout["imp_map"].mean()
+        )
+        tmodel.zero_grad()
+        total_t.backward()
+        t_grads = {
+            n: (p.grad.numpy() if p.grad is not None
+                else np.zeros(tuple(p.shape), np.float32))
+            for n, p in tmodel.named_parameters()
+        }
+        t_tree = jax.tree_util.tree_map(
+            jnp.asarray, convert_torch_state_dict(t_grads)
+        )
+        # the batch partition keeps 2 imp rows, 1 depth-2 dropout row, 1
+        # all-ones row: check the masks really took the train branch
+        # (generate_mask_hard: stage i on iff depth >= i, so depth 2 keeps
+        # stages 0..2)
+        m = tout["mask_imp"].detach().numpy()
+        assert (m[3] == 1.0).all()
+        assert (m[2][:3] == 1.0).all() and (m[2][3:] == 0.0).all()
+        assert tout["imp_map"].shape[0] == 2
+
+        mel_l = MelSpectrogramLoss(
+            n_mels=MEL_NMELS, window_lengths=MEL_WINDOWS,
+            mel_fmin=(0.0,) * len(MEL_WINDOWS),
+            mel_fmax=(None,) * len(MEL_WINDOWS),
+            pow=1.0, mag_weight=0.0, clamp_eps=1e-5, sample_rate=SR,
+        )
+        stft_l = MultiScaleSTFTLoss(window_lengths=STFT_WINDOWS)
+        rngs = {"vbr": jax.random.PRNGKey(3),
+                "vbr_dropout": jax.random.PRNGKey(4)}
+
+        def loss_fn(p):
+            out = jmodel.apply(p, xj, SR, level=None, train=True, rngs=rngs)
+            rec = out["audio"]
+            return (
+                15.0 * mel_l(rec, xj)
+                + 1.0 * stft_l(rec, xj)
+                + 10.0 * jnp.mean(jnp.abs(rec - xj))
+                + 0.25 * out["vq/commitment_loss"]
+                + 1.0 * out["vq/codebook_loss"]
+                + 2.0 * jnp.mean(out["imp_map"])
+            )
+
+        total_j, j_grads = jax.value_and_grad(loss_fn)(params)
+    finally:
+        torch.rand, torch.randint = real_rand, real_randint
+        jax.random.uniform, jax.random.randint = real_j_uniform, real_j_randint
+
+    np.testing.assert_allclose(float(total_j), float(total_t), rtol=1e-4)
+    errs = _grad_rel_errors(j_grads, t_tree)
+    _assert_close(errs, tol=5e-3)
+
+
 def test_generator_recon_only_grads_match_torch(gen_pair):
     """Recon + vq losses alone (no discriminator): a tighter-tolerance
     check of the mel/stft/L1 + STE + commitment/codebook gradient paths."""
