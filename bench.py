@@ -361,26 +361,49 @@ def bench_stream_pool(model, params):
 
 
 def _run_phase(phase: str, timeout_s: float):
-    """Run a bench phase in a subprocess and parse its one-line JSON.
+    """Run a bench phase in a subprocess and merge its JSON lines.
     Isolation matters: a flaky remote compile/runtime can wedge a dispatch
     indefinitely (observed: cached train-step executables dying
     UNIMPLEMENTED after a remote runtime restart, then hanging the device)
-    — a hung phase must cost its field, not the artifact."""
+    — a hung phase must cost its field, not the artifact.
+
+    The child emits one flushed JSON line per record (the headline child
+    also runs the exact/live/gate enrichment in-process, where the model
+    init and compile cache are already warm — a fresh subprocess per
+    enrichment field paid a fresh remote compile each, which is how round
+    3's enrichment timed out on a degraded tunnel). A timeout salvages the
+    child's partial stdout, so the fields measured before the wedge
+    survive."""
     import subprocess
 
+    stdout = ""
     try:
         proc = subprocess.run(
             [sys.executable, __file__, f"--phase={phase}"],
             capture_output=True, text=True, timeout=timeout_s,
+            env={**os.environ, "BENCH_PHASE_BUDGET_S": str(timeout_s - 10)},
         )
-        for line in reversed(proc.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-        print(f"# {phase} bench produced no JSON "
-              f"(rc={proc.returncode}): {proc.stderr[-300:]}", file=sys.stderr)
+        stdout = proc.stdout or ""
+        if not any(ln.startswith("{") for ln in stdout.splitlines()):
+            print(f"# {phase} bench produced no JSON "
+                  f"(rc={proc.returncode}): {proc.stderr[-300:]}",
+                  file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout or ""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
+        print(f"# {phase} bench timed out after {timeout_s:.0f}s "
+              f"(salvaging partial output)", file=sys.stderr)
     except Exception as e:
         print(f"# {phase} bench failed: {e!r}", file=sys.stderr)
-    return {}
+    merged = {}
+    for line in stdout.splitlines():
+        if line.startswith("{"):
+            try:
+                merged.update(json.loads(line))
+            except json.JSONDecodeError:
+                pass  # a line cut mid-write by the timeout
+    return merged
 
 
 def _build(init_seconds=10.0):
@@ -418,8 +441,33 @@ def _child_main(phase: str):
     model, params = _build(init_seconds=2.0 if phase == "headline_small"
                            else 10.0)
     if phase == "headline":
+        t_end = time.monotonic() + float(
+            os.environ.get("BENCH_PHASE_BUDGET_S", "1e9"))
         rtf, mfu = bench_headline(model, params)
-        print(json.dumps(_headline_record(rtf, mfu)))
+        print(json.dumps(_headline_record(rtf, mfu)), flush=True)
+        # Enrichment runs HERE, in the already-warm process (model init
+        # done, compile cache primed) — each field is one flushed JSON
+        # line, so a mid-phase wedge costs the remaining fields only (the
+        # parent salvages partial stdout on timeout).
+        enrich = (
+            ("rtf_exact_fast",
+             lambda: round(bench_exact_fast(model, params), 2)),
+            ("rtf_live_f32",
+             lambda: round(bench_live_f32(model, params), 2)),
+            ("gate", lambda: bench_gate(model, params)),
+        )
+        for name, fn in enrich:
+            if t_end - time.monotonic() < 45:
+                print(f"# headline child skipping {name}: phase budget "
+                      "exhausted", file=sys.stderr)
+                continue
+            try:
+                val = fn()
+                print(json.dumps(val if isinstance(val, dict)
+                                 else {name: val}), flush=True)
+            except Exception as e:
+                print(f"# headline child {name} failed: {e!r}",
+                      file=sys.stderr)
     elif phase == "headline_small":
         # degraded-tunnel fallback: same flagship turbo model, reduced
         # workload — honestly measured but underestimates peak RTF (less
@@ -505,8 +553,10 @@ def main():
                 small = _run_phase(
                     "headline_small",
                     timeout_s=max(90.0, min(rem() - 60, 300.0)))
+        # The cap covers headline + in-child enrichment; the headline line
+        # is flushed first, so a timeout mid-enrichment still yields it.
         out = _run_phase(
-            "headline", timeout_s=max(90.0, min(rem() - 40, 480.0)))
+            "headline", timeout_s=max(90.0, min(rem() - 40, 600.0)))
         if "value" not in out:
             full_timeouts += 1
     if "value" not in out and "value" in small:
@@ -539,10 +589,10 @@ def main():
 
     extras = {}
     # (phase, minimum budget to bother, per-phase cap) — ordered by value.
-    for ph, need, cap in (("exact", 90, 240), ("live", 90, 240),
-                          ("train", 120, 300), ("b32", 90, 240),
-                          ("gate", 90, 240), ("fused", 90, 240),
-                          ("pool", 90, 300)):
+    # exact/live/gate now ride inside the headline child (warm process);
+    # only the phases needing different model/process setups remain here.
+    for ph, need, cap in (("train", 120, 300), ("b32", 90, 240),
+                          ("fused", 90, 240), ("pool", 90, 300)):
         r = rem()
         if r < need + 20:
             print(f"# skipping {ph}: {r:.0f}s of budget left", file=sys.stderr)

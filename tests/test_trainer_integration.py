@@ -396,3 +396,16 @@ def test_export_torch_cli(env):
         out_pth, cfg["DAC_VRVQ.n_codebooks"], "VBR"
     )
     assert "encoder" in params["params"] and "decoder" in params["params"]
+
+
+def test_fresh_run_refuses_to_clobber_checkpoints(tmp_path):
+    """A non-resume run pointed at a directory that already holds
+    checkpoints must fail BEFORE touching anything (a fresh run's step-1
+    init save once silently replaced a finished run's 'latest')."""
+    from vrvq_tpu.train.trainer import train
+
+    save = tmp_path / "ckpt"
+    (save / "latest").mkdir(parents=True)
+    (save / "latest" / "meta.json").write_text("{}")
+    with pytest.raises(FileExistsError, match="resume"):
+        train(Config({}), save_path=str(save))

@@ -418,6 +418,18 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
         SummaryWriter = None
 
     rank = jax.process_index()
+    # Clobber guard: a fresh (non-resume) run pointed at a directory that
+    # already holds trained checkpoints would silently overwrite them at
+    # its first save (this destroyed a 4000-step run once: the new run's
+    # step-1 init checkpoint replaced 'latest'). Demand an explicit
+    # decision: resume, a fresh save_path, or overwrite_ok: true.
+    if (not cfg.get("resume", False) and not cfg.get("overwrite_ok", False)
+            and (Path(save_path) / "latest" / "meta.json").exists()):
+        raise FileExistsError(
+            f"{save_path!r} already contains checkpoints; set resume: true "
+            "to continue that run, overwrite_ok: true to discard it, or "
+            "pick a fresh --save_path"
+        )
     Path(save_path).mkdir(exist_ok=True, parents=True)
     writer = (
         SummaryWriter(logdir=f"{save_path}/logs")
