@@ -181,14 +181,51 @@ def test_full_success_on_retry_beats_fallback(benchmod, monkeypatch):
 
 
 def test_optional_phases_enrich_final_line(benchmod, monkeypatch):
-    extras = {"exact": {"rtf_exact_fast": 268.0},
-              "train": {"train_step_ms": 208.0}}
+    # exact/live/gate now ride INSIDE the headline child (one warm process,
+    # one remote model init; round-3's per-phase subprocesses each paid a
+    # fresh remote compile and timed out on a degraded tunnel), so the
+    # headline phase's merged record already carries them. Remaining
+    # optional phases still enrich the final line.
+    headline = {**OK, "rtf_exact_fast": 268.0}
+    extras = {"train": {"train_step_ms": 208.0}}
     lines, _, _, code = _drive(
-        benchmod, monkeypatch, headline_results=[OK], probe_alive=[True],
-        extras=extras)
+        benchmod, monkeypatch, headline_results=[headline],
+        probe_alive=[True], extras=extras)
     assert code == 0
-    assert lines[0]["value"] == 311.8 and "rtf_exact_fast" not in lines[0]
+    assert lines[0]["value"] == 311.8
+    assert lines[0]["rtf_exact_fast"] == 268.0  # from the headline child
     final = lines[-1]
     assert final["value"] == 311.8  # headline fields survive enrichment
     assert final["rtf_exact_fast"] == 268.0
     assert final["train_step_ms"] == 208.0
+
+
+def test_run_phase_merges_child_json_lines(benchmod, monkeypatch):
+    """_run_phase merges EVERY JSON line the child prints (the headline
+    child emits one flushed line per enrichment field) and salvages
+    partial stdout when the child times out mid-phase."""
+    import subprocess
+
+    def fake_run(argv, capture_output, text, timeout, env=None):
+        class R:
+            returncode = 0
+            stdout = ('{"metric": "m", "value": 1.0}\n'
+                      "# noise\n"
+                      '{"rtf_exact_fast": 268.0}\n')
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = benchmod._run_phase("headline", timeout_s=60.0)
+    assert out == {"metric": "m", "value": 1.0, "rtf_exact_fast": 268.0}
+
+    def fake_run_timeout(argv, capture_output, text, timeout, env=None):
+        raise subprocess.TimeoutExpired(
+            argv, timeout,
+            output='{"metric": "m", "value": 2.0}\n{"rtf_live_f32": 16',
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run_timeout)
+    out = benchmod._run_phase("headline", timeout_s=60.0)
+    # the complete line survives; the line cut mid-write is dropped
+    assert out == {"metric": "m", "value": 2.0}
