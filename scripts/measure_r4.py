@@ -15,8 +15,8 @@ This CLI runs everything against the TRAINED demo checkpoint (ckpt_demo):
 Prints one JSON line per measurement, incrementally, so a tunnel wedge
 mid-run keeps the earlier numbers. Bounded: run under ``timeout``.
 
-Usage: python scripts/measure_r4.py [batch seconds]
-(defaults 16 10.0; pass e.g. ``2 1.0`` for a CPU smoke run)
+Usage: python scripts/measure_r4.py [batch seconds ckpt_dir]
+(defaults 16 10.0 ckpt_demo; pass e.g. ``2 1.0`` for a CPU smoke run)
 """
 
 import json
@@ -31,14 +31,14 @@ import jax
 from bench import SAMPLE_RATE, _bench_audio, _sync, _timeit
 
 
-def _trained_flagship():
+def _trained_flagship(ckpt_dir="ckpt_demo"):
     """Flagship model + the trained demo checkpoint's generator params."""
     from vrvq_tpu.config import Config
     from vrvq_tpu.models import DAC_VRVQ
     from vrvq_tpu.train import checkpoint as ckpt
 
     cfg = Config.load("conf/vrvq/vrvq_a2_synth_demo.yml", base_dir=str(REPO))
-    cfg["ckpt_dir"] = str(REPO / "ckpt_demo")
+    cfg["ckpt_dir"] = str(REPO / ckpt_dir)
     cfg["tag"] = "latest"
     model = DAC_VRVQ(**cfg.kwargs("DAC_VRVQ"))
     params = ckpt.load_gen_params(cfg, model)
@@ -56,19 +56,26 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    model, params = _trained_flagship()
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "ckpt_demo"
+    model, params = _trained_flagship(ckpt_dir)
+    print(json.dumps({"ckpt_dir": ckpt_dir}), flush=True)
     audio, n = _bench_audio(batch=batch, seconds=seconds, seed=0)
     secs = batch * (n / SAMPLE_RATE)
 
-    # ---- 1. trained-checkpoint gate for the packed encoder
-    res = turbo_gate(model, params, encode_packed=True)
-    print(json.dumps({
-        "gate": "packed_encoder_vs_exact_TRAINED",
-        "agreement_db": round(res.agreement_db, 1),
-        "mask_agreement": round(res.mask_agreement, 5),
-        "code_flip_rate": round(res.code_flip_rate, 5),
-        "passed": bool(res.passed),
-    }), flush=True)
+    # ---- 1. trained-checkpoint gates: plain turbo (re-establishes the
+    # serving-default verdict on THIS checkpoint) and the packed encoder
+    # (the deploy decision for flipping bench.py's headline)
+    for gname, kw in (("turbo_vs_exact_TRAINED", {}),
+                      ("packed_encoder_vs_exact_TRAINED",
+                       dict(encode_packed=True))):
+        res = turbo_gate(model, params, **kw)
+        print(json.dumps({
+            "gate": gname,
+            "agreement_db": round(res.agreement_db, 1),
+            "mask_agreement": round(res.mask_agreement, 5),
+            "code_flip_rate": round(res.code_flip_rate, 5),
+            "passed": bool(res.passed),
+        }), flush=True)
 
     # ---- 2. packed-decoder agreement (same codes, two decoders)
     probe, _ = _bench_audio(batch=4, seconds=2.0, seed=7)

@@ -26,6 +26,7 @@ def _model_and_params(rates=(8, 8, 4, 2), dim=64):
 
 @pytest.mark.parametrize("t_frames,chunk", [(100, 16), (97, 16), (33, 32),
                                             (64, 64)])
+@pytest.mark.slow
 def test_chunked_decode_bit_exact(t_frames, chunk):
     """Flagship decoder topology (rates 8,8,4,2) at small width: chunked
     decode sees bit-identical input windows to the one-shot decode
@@ -84,6 +85,7 @@ def test_halo_radius_is_sufficient_and_tight():
 
 
 @pytest.mark.parametrize("t_frames,chunk", [(100, 16), (97, 16)])
+@pytest.mark.slow
 def test_chunked_encode_codes_match(t_frames, chunk):
     """Chunked encode must reproduce the one-shot encode: identical
     codebook indices and near-identical z_q/imp_map."""

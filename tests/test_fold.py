@@ -140,6 +140,7 @@ def test_snake_approx_decode_quality():
     assert snr > 60.0, f"approx snake decode agreement only {snr:.1f} dB"
 
 
+@pytest.mark.slow
 def test_level_sweep_with_inference_model():
     """LevelSweep on the folded bf16 model: same masks/bpf as the live one."""
     from vrvq_tpu.infer import LevelSweep
@@ -189,6 +190,7 @@ def test_inference_model_moe():
     assert snr > 35.0, f"bf16 MOE decode agreement only {snr:.1f} dB"
 
 
+@pytest.mark.slow
 def test_chunked_decode_with_inference_model():
     """decode_chunked builds the folded decoder from the model flags."""
     from vrvq_tpu.infer.chunked import decode_chunked

@@ -122,6 +122,7 @@ def test_train_mode_runs(vbr_model):
     assert np.isfinite(float(out["vq/codebook_loss"]))
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_encoder(vbr_model):
     """Backward works end-to-end and reaches the encoder + importance subnet
     through the STE (reference test_model.py checks backward runs)."""
@@ -179,6 +180,7 @@ def test_receptive_field_finite():
     assert rf < T
 
 
+@pytest.mark.slow
 def test_flagship_param_counts_match_reference():
     """Parameter counts of the full-size vrvq_a2 topology must match the
     reference-derived sizes (SURVEY: enc 22.3M + dec 54.1M + RVQ 0.21M +

@@ -185,6 +185,7 @@ def test_packed_decoder_model_matches(tiny_model, packed_blocks):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_make_inference_model_decode_packed(tiny_model):
     from vrvq_tpu.infer.fast import make_inference_model
 

@@ -34,6 +34,7 @@ def test_local_batch_size():
         local_batch_size(10, mesh)
 
 
+@pytest.mark.slow
 def test_zero_sharded_opt_state_train_step():
     """Train step still runs (and syncs) with Adam state sharded over the
     mesh — the ZeroRedundancyOptimizer equivalent."""

@@ -210,6 +210,7 @@ def _assert_close(errs, tol, allow_zero=()):
 
 # ----------------------------------------------------------------- tests
 
+@pytest.mark.slow
 def test_discriminator_lsgan_grads_match_torch(gen_pair, disc_pair):
     """(b) disc LSGAN loss: torch backward vs jax.grad, per-param."""
     tmodel, jmodel, params = gen_pair
@@ -241,6 +242,7 @@ def test_discriminator_lsgan_grads_match_torch(gen_pair, disc_pair):
     _assert_close(errs, tol=2e-3)
 
 
+@pytest.mark.slow
 def test_generator_full_loss_grads_match_torch(gen_pair, disc_pair):
     """(a) full generator loss (recon + adv + vq + rate) through the STE
     mask and weight norm: torch backward vs jax.grad, per-param."""
@@ -310,6 +312,7 @@ def test_generator_full_loss_grads_match_torch(gen_pair, disc_pair):
     _assert_close(errs, tol=5e-3)
 
 
+@pytest.mark.slow
 def test_generator_train_mode_grads_match_torch():
     """TRAIN-mode gradient parity: the stochastic branch training actually
     uses — random level sampling, the imp/dropout/full-codebook batch

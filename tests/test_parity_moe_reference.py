@@ -11,6 +11,7 @@ import contextlib
 import io
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -18,6 +19,9 @@ import jax.numpy as jnp
 
 from vrvq_tpu.models import DAC_MOE
 from vrvq_tpu.train.checkpoint import convert_torch_state_dict
+
+# flagship-scale parity vs the genuine source: excluded from the quick tier
+pytestmark = pytest.mark.slow
 from tests.reference_import import import_reference_moe
 
 

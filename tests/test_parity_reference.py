@@ -72,6 +72,7 @@ def flagship_pair():
     return _make_pair(0, **FLAGSHIP)
 
 
+@pytest.mark.slow
 def test_flagship_codes_bit_exact_10s(flagship_pair):
     """Bit-exact code indices at flagship scale on 10 s of audio."""
     tmodel, jmodel, params = flagship_pair

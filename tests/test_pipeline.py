@@ -134,12 +134,26 @@ def test_checkpoint_roundtrip(tmp_path):
                          metadata={"note": "test"})
     assert (tmp_path / "latest" / "state").exists()
     assert (tmp_path / "best" / "meta.json").exists()
-    restored = ckpt.load_checkpoint(tmp_path, state, "latest")
+    # 'best' is a hardlink-copy of 'latest' (identical bytes, no second
+    # 1.5 GB serialization at flagship scale) — both must restore exactly
     a = jax.tree_util.tree_leaves(state.gen_params)
-    b = jax.tree_util.tree_leaves(restored.gen_params)
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for tag in ("latest", "best"):
+        restored = ckpt.load_checkpoint(tmp_path, state, tag)
+        b = jax.tree_util.tree_leaves(restored.gen_params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert ckpt.load_metadata(tmp_path, "best")["note"] == "test"
+
+    # rewriting 'latest' must NOT disturb the hardlinked 'best' (rmtree +
+    # fresh inodes): save a mutated state to latest only, then best still
+    # restores the ORIGINAL leaves
+    state2 = state.replace(
+        gen_params=jax.tree_util.tree_map(lambda x: x + 1.0,
+                                          state.gen_params))
+    ckpt.save_checkpoint(state2, tmp_path, ["latest"])
+    again = ckpt.load_checkpoint(tmp_path, state, "best")
+    for x, y in zip(a, jax.tree_util.tree_leaves(again.gen_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_checkpoint_tags():

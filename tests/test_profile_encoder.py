@@ -43,6 +43,7 @@ def test_chain_defeats_cse(prof):
     del calls
 
 
+@pytest.mark.slow
 def test_profile_rows_consistent(prof):
     rows = prof.profile(batch=1, seconds=0.05, d_model=8, strides=(2, 4, 8, 8),
                         latent_dim=16, decoder_dim=32,

@@ -174,6 +174,7 @@ def test_streaming_errors(proc):
         enc.push(np.zeros(10, np.float32))
 
 
+@pytest.mark.slow
 def test_stream_demo_cli(tmp_path):
     """The serving demo CLI runs end-to-end on a tiny model (random
     params, no checkpoint) and writes a reconstruction wav."""

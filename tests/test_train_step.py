@@ -11,6 +11,9 @@ from vrvq_tpu.losses import L1Loss, MultiScaleSTFTLoss, MelSpectrogramLoss
 from vrvq_tpu.train.state import make_optimizer
 from vrvq_tpu.train.loop import make_train_step, make_val_step, init_train_state
 
+# integration-scale: excluded from the quick tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     encoder_dim=8, encoder_rates=(2, 4, 8, 8), decoder_dim=128,
     decoder_rates=(8, 8, 4, 2), n_codebooks=4, codebook_size=32,

@@ -14,6 +14,9 @@ import jax
 from vrvq_tpu.config import Config
 from vrvq_tpu.data.audio_io import write_wav
 
+# integration-scale: excluded from the quick tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):

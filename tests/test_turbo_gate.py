@@ -76,6 +76,7 @@ def test_gate_self_agreement_is_perfect(tiny):
     assert res.passed
 
 
+@pytest.mark.slow
 def test_gate_impossible_threshold_fails(tiny):
     m, params = tiny
     res = turbo_gate(m, params, min_agreement_db=float("inf"),

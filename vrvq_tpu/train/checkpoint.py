@@ -12,6 +12,7 @@ Layout on disk:
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -48,6 +49,7 @@ def save_checkpoint(
     rank = jax.process_index()
     checkpointer = ocp.StandardCheckpointer()
     state = jax.device_get(state)
+    first_state_dir = None
     for tag in tags:
         tag_dir = save_path / tag
         state_dir = tag_dir / "state"
@@ -56,8 +58,18 @@ def save_checkpoint(
                 shutil.rmtree(state_dir)
             tag_dir.mkdir(parents=True, exist_ok=True)
         _sync(f"ckpt_prep_{tag}")
-        checkpointer.save(state_dir, state)
-        checkpointer.wait_until_finished()
+        if first_state_dir is None:
+            checkpointer.save(state_dir, state)
+            checkpointer.wait_until_finished()
+            first_state_dir = state_dir
+        elif rank == 0:
+            # Identical bytes for every further tag (a flagship state is
+            # ~1.5 GB; 'latest'+'best' used to serialize it twice) —
+            # hardlink-copy the finished tree instead. Safe against later
+            # overwrites: rewriting a tag rmtree's it and creates fresh
+            # inodes, so sibling tags keep the old data.
+            shutil.copytree(first_state_dir, state_dir,
+                            copy_function=os.link)
         if rank == 0:
             meta = {"step": int(state.step)}
             meta.update(metadata or {})
