@@ -6,15 +6,18 @@ forward on the available accelerator and reports the realtime factor
 (seconds of audio processed per second of wall clock). The BASELINE.json
 north-star is >=50x realtime per v5e chip, so vs_baseline = value / 50.
 
-The headline forward uses the production TURBO serving profile
-(infer/fast.py make_serving_model: polynomial snake everywhere, live f32
-encoder convs, folded bf16 decoder — measured ~324x vs 268x exact-codes
-fast path vs 169x live-f32 on v5e). Turbo is the serving default because
-the accuracy gate (infer/fast.py turbo_gate) passes on the trained demo
-flagship: 34.7 dB SI-SDR turbo-vs-exact decode agreement, 99.95%
-bitrate-mask agreement, 0.13% code flips (BASELINE.md). The stronger
-bf16-encoder variant (336x) FAILED that gate (26.2 dB) and stays opt-in.
-The exact-codes path is one call away, reported as rtf_exact_fast below.
+The headline forward uses the production TURBO+PACKED serving profile
+(infer/fast.py make_serving_model(encode_packed=True): polynomial snake
+everywhere, live f32 encoder convs with the time-packed first stage,
+folded bf16 decoder — measured ~457x vs 325x unpacked turbo vs 268x
+exact-codes fast path vs 169x live-f32 on v5e). This profile is the
+serving headline because the accuracy gate (infer/fast.py turbo_gate)
+passes on the TRAINED 20k-step checkpoint over the held-out probe
+corpus (round 5, BASELINE.md): packed-encoder 39.4 dB mean / 30.8 dB
+min-clip SI-SDR turbo-vs-exact decode agreement, 99.97% bitrate-mask
+agreement, 0.39% code flips (plain turbo: 37.4 dB / 35.0 dB min-clip).
+The bf16-encoder variant FAILED the gate (26.2 dB, r3) and stays
+opt-in. The exact-codes path is one call away (rtf_exact_fast below).
 
 Structure (hard-deadline, early-emission — the round-2 artifact was lost
 to a driver timeout because one wedged phase forfeited the whole run):
@@ -126,16 +129,20 @@ def _forward_fn(m):
 
 
 def bench_headline(model, params, batch=16, seconds=10.0, n_iters=5):
-    """Headline forward: the turbo serving profile (make_serving_model —
-    polynomial snake everywhere, live f32 encoder), the serving default
-    since the accuracy gate passes on the trained demo flagship
-    (turbo_gate: 34.7 dB turbo-vs-exact decode agreement, 99.95% mask
-    agreement, BASELINE.md)."""
+    """Headline forward: the turbo serving profile with the time-packed
+    first encoder stage (make_serving_model(encode_packed=True) —
+    polynomial snake everywhere, packed live f32 encoder). Headline
+    since round 5: turbo_gate passes on the trained 20k-step checkpoint
+    over the held-out corpus (39.4 dB mean / 30.8 dB min-clip decode
+    agreement, 99.97% mask agreement, 0.39% flips — BASELINE.md round-5
+    table), and the packed first stage is a measured 1.96x on encode
+    (457x vs 325x RTF at b16x10 s)."""
     audio, n = _bench_audio(batch=batch, seconds=seconds, seed=0)
 
     from vrvq_tpu.infer.fast import make_serving_model
 
-    fast_model, fast_params = make_serving_model(model, params)
+    fast_model, fast_params = make_serving_model(model, params,
+                                                 encode_packed=True)
     fast_fwd = _forward_fn(fast_model)
     # Compile ONCE, explicitly, and reuse the executable for both timing and
     # the FLOPs probe (a post-hoc .lower().compile() would build a fresh
@@ -178,13 +185,31 @@ def bench_exact_fast(model, params):
     return 16 * (n / SAMPLE_RATE) / dt
 
 
+def _precompile_enrichment(model, params):
+    """Lower+compile the exact-fast and live-f32 forward programs NOW —
+    immediately after the headline compile, while the tunnel is proven
+    healthy (VERDICT r4 #4: enrichment compiles used to run serially
+    after the timing loops and hit the phase cap on a degraded tunnel).
+    The executables land in the persistent .jax_cache, so the later
+    bench_exact_fast/bench_live_f32 calls (fresh jit objects, same HLO)
+    reload them in seconds instead of recompiling remotely."""
+    from vrvq_tpu.infer.fast import make_inference_model
+
+    audio, _ = _bench_audio(batch=16, seconds=10.0, seed=0)
+    fast_model, fast_params = make_inference_model(model, params)
+    _forward_fn(fast_model).lower(fast_params, audio).compile()
+    _forward_fn(model).lower(params, audio).compile()
+
+
 def bench_gate(model, params):
-    """Run the turbo accuracy gate on this chip (random-init weights: a
-    mechanism + hardware-numerics check; the deploy decision uses the
-    trained-checkpoint gate recorded in BASELINE.md)."""
+    """Run the turbo accuracy gate on this chip against the HEADLINE
+    serving profile (encode_packed=True). On the bench's random-init
+    weights this is a mechanism + hardware-numerics check only — the
+    deploy decision uses the trained-checkpoint gate in BASELINE.md
+    (round 5: ckpt_20k, held-out corpus, PASSED)."""
     from vrvq_tpu.infer.fast import turbo_gate
 
-    res = turbo_gate(model, params)
+    res = turbo_gate(model, params, encode_packed=True)
     return {
         "gate_agreement_db": round(res.agreement_db, 1),
         "gate_mask_agreement": round(res.mask_agreement, 5),
@@ -445,6 +470,16 @@ def _child_main(phase: str):
             os.environ.get("BENCH_PHASE_BUDGET_S", "1e9"))
         rtf, mfu = bench_headline(model, params)
         print(json.dumps(_headline_record(rtf, mfu)), flush=True)
+        # Front-load the enrichment compiles while the tunnel is proven
+        # healthy (the headline just compiled+ran). Cheap when .jax_cache
+        # is warm; on a cold cache this banks the executables before a
+        # mid-phase degrade can strand them.
+        if t_end - time.monotonic() > 120:
+            try:
+                _precompile_enrichment(model, params)
+            except Exception as e:
+                print(f"# enrichment precompile failed: {e!r}",
+                      file=sys.stderr)
         # Enrichment runs HERE, in the already-warm process (model init
         # done, compile cache primed) — each field is one flushed JSON
         # line, so a mid-phase wedge costs the remaining fields only (the

@@ -2,7 +2,7 @@
 
 Round 3 measured the time-packed encoder at 457.9x RTF but only gated it
 at random init, where argmax near-tie density dominates (BASELINE.md).
-This CLI runs everything against the TRAINED demo checkpoint (ckpt_demo):
+This CLI runs everything against a TRAINED checkpoint (default ckpt_20k):
 
   1. turbo_gate(encode_packed=True) on the trained flagship — the deploy
      decision for flipping bench.py's headline to the packed encoder.
@@ -16,7 +16,10 @@ Prints one JSON line per measurement, incrementally, so a tunnel wedge
 mid-run keeps the earlier numbers. Bounded: run under ``timeout``.
 
 Usage: python scripts/measure_r4.py [batch seconds ckpt_dir]
-(defaults 16 10.0 ckpt_demo; pass e.g. ``2 1.0`` for a CPU smoke run)
+(defaults 16 10.0 ckpt_20k; pass e.g. ``2 1.0`` for a CPU smoke run).
+The script refuses near-init checkpoints (<1000 steps): the gates exist
+precisely because near-init argmax near-ties produce meaningless verdicts
+(round-3 random-init 18.7 dB, round-4 step-1 25.3 dB — both artifacts).
 """
 
 import json
@@ -31,12 +34,25 @@ import jax
 from bench import SAMPLE_RATE, _bench_audio, _sync, _timeit
 
 
-def _trained_flagship(ckpt_dir="ckpt_demo"):
-    """Flagship model + the trained demo checkpoint's generator params."""
+def _trained_flagship(ckpt_dir="ckpt_20k", min_steps=1000):
+    """Flagship model + a TRAINED checkpoint's generator params.
+
+    Asserts the checkpoint has actually trained: gate verdicts on a
+    near-init model reproduce the near-tie artifact this script exists
+    to avoid (ADVICE r4; ckpt_demo was clobbered to a step-1 snapshot).
+    """
     from vrvq_tpu.config import Config
     from vrvq_tpu.models import DAC_VRVQ
     from vrvq_tpu.train import checkpoint as ckpt
 
+    meta = ckpt.load_metadata(REPO / ckpt_dir, tag="latest")
+    step = int(meta.get("step", 0))
+    if step < min_steps:
+        raise SystemExit(
+            f"{ckpt_dir} is at step {step} (< {min_steps}): a near-init "
+            "checkpoint gives meaningless gate verdicts (argmax near-tie "
+            "density). Point at a trained checkpoint, e.g. ckpt_20k."
+        )
     cfg = Config.load("conf/vrvq/vrvq_a2_synth_demo.yml", base_dir=str(REPO))
     cfg["ckpt_dir"] = str(REPO / ckpt_dir)
     cfg["tag"] = "latest"
@@ -56,7 +72,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "ckpt_demo"
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "ckpt_20k"
     model, params = _trained_flagship(ckpt_dir)
     print(json.dumps({"ckpt_dir": ckpt_dir}), flush=True)
     audio, n = _bench_audio(batch=batch, seconds=seconds, seed=0)
@@ -72,8 +88,11 @@ def main():
         print(json.dumps({
             "gate": gname,
             "agreement_db": round(res.agreement_db, 1),
+            "min_clip_agreement_db": round(res.min_clip_agreement_db, 1),
+            "clip_agreement_db": [round(d, 1) for d in res.clip_agreement_db],
             "mask_agreement": round(res.mask_agreement, 5),
             "code_flip_rate": round(res.code_flip_rate, 5),
+            "probe": res.probe,
             "passed": bool(res.passed),
         }), flush=True)
 

@@ -90,3 +90,30 @@ def test_gate_custom_clips(tiny):
     clips = (rng.randn(2, 1, 4096) * 0.1).astype(np.float32)
     res = turbo_gate(m, params, clips=clips)
     assert 0.0 <= res.mask_agreement <= 1.0
+    assert res.probe == "caller-supplied clips"
+    # per-clip reporting (VERDICT r4 #5): one dB per probe clip, and the
+    # min-clip summary is the worst of them
+    assert len(res.clip_agreement_db) == 2
+    assert res.min_clip_agreement_db == min(res.clip_agreement_db)
+
+
+def test_gate_probe_corpus_fallback(tiny):
+    """With a missing probe dir the gate falls back to the in-function
+    synthetic harmonics (4 clips) and labels the probe accordingly."""
+    m, params = tiny
+    res = turbo_gate(m, params, probe_dir="no/such/dir")
+    assert res.probe.startswith("synthetic harmonics")
+    assert len(res.clip_agreement_db) == 4
+
+
+def test_gate_probe_corpus_loads_heldout(tiny):
+    """Default probe: the held-out synth test corpus (the same clips
+    scripts/evaluate.py scores), resolved relative to the repo root."""
+    import vrvq_tpu.infer.fast as fast
+
+    clips = fast._probe_corpus(tiny[0], "data_synth/test")
+    if clips is None:
+        pytest.skip("data_synth/test not generated in this checkout")
+    assert clips.ndim == 3 and clips.shape[1] == 1
+    assert 1 <= clips.shape[0] <= 8
+    assert clips.dtype == np.float32

@@ -113,22 +113,23 @@ def make_serving_model(model, params, encode_packed: bool = False,
     """The gated max-throughput serving profile ("turbo"): the fast path
     plus polynomial snake in the ENCODER too (live f32 encoder convs).
 
-    Measured on the trained flagship (v5e, BASELINE.md): ~324x RTF vs
-    268x for the exact-codes fast path. This exact profile passes
-    ``turbo_gate`` on the trained demo checkpoint: 34.7 dB SI-SDR
-    turbo-vs-exact decode agreement, 99.95% bitrate-mask agreement,
-    0.13% code flips. The stronger variant (+ folded bf16 encoder,
-    ``encode_dtype='bfloat16'``) measured 336x but FAILED the 30 dB gate
-    there (26.2 dB, 1.2% flips) — it stays opt-in; the bf16 encoder only
-    buys ~1.06x because the encoder convs are HBM/layout-bound.
+    Measured on the trained flagship (v5e, BASELINE.md): ~325x RTF vs
+    268x for the exact-codes fast path, and **457x** with
+    ``encode_packed=True`` (time-packed first encoder stage, the
+    measured block_0 lane-occupancy fix — encode 286→147 ms at
+    b16x10 s). Both profiles pass ``turbo_gate`` on the trained
+    20k-step checkpoint over the held-out probe corpus (round 5,
+    BASELINE.md): turbo 37.4 dB mean / 35.0 dB min-clip SI-SDR decode
+    agreement, 99.96% mask agreement; +encode_packed 39.4 dB mean /
+    30.8 dB min-clip, 99.97% mask, 0.39% code flips. The packed profile
+    is bench.py's headline. The stronger variant (+ folded bf16 encoder,
+    ``encode_dtype='bfloat16'``) FAILED the 30 dB gate (26.2 dB, 1.2%
+    flips, r3) — it stays opt-in; the bf16 encoder only buys ~1.06x
+    because the encoder convs are HBM/layout-bound.
 
     Deploy behind ``turbo_gate`` on YOUR checkpoint + data: if the gate
     passes, this is the default to serve with; the bit-exact path stays
     one call away (``make_inference_model``).
-
-    ``encode_packed=True`` additionally runs the first encoder stage in
-    the time-packed layout (the measured block_0 lane-occupancy fix) —
-    opt-in until it has a recorded TPU measurement + gate verdict.
     """
     return make_inference_model(model, params, encode_snake_approx=True,
                                 encode_packed=encode_packed,
@@ -143,9 +144,48 @@ class GateResult:
     agreement_db: float        # SI-SDR between the two decoded outputs
     mask_agreement: float      # fraction of VBR mask entries that agree
     code_flip_rate: float      # fraction of code indices that changed
-    min_agreement_db: float
-    min_mask_agreement: float
+    min_agreement_db: float    # the pass threshold (dB)
+    min_mask_agreement: float  # the pass threshold (fraction)
     passed: bool
+    # Per-clip reporting (VERDICT r4 #5): a production-default decision
+    # should see the worst clip, not just the batch mean.
+    clip_agreement_db: tuple = ()
+    min_clip_agreement_db: float = float("nan")
+    probe: str = ""            # which corpus the verdict was measured on
+
+
+def _probe_corpus(model, probe_dir, max_clips: int = 8):
+    """Load held-out probe clips for the gate from a directory of wavs.
+
+    Returns (B, 1, T) float32 trimmed to the shortest clip, or ``None``
+    when the directory is missing/empty or the sample rates don't match
+    the model (the caller falls back to synthetic harmonics). Relative
+    paths are tried against both cwd and the repo root so bench/CI can
+    run from anywhere.
+    """
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..data.audio_io import read_wav
+
+    cand = Path(probe_dir)
+    if not cand.is_dir():
+        cand = Path(__file__).resolve().parents[2] / probe_dir
+    if not cand.is_dir():
+        return None
+    paths = sorted(cand.glob("*.wav"))[:max_clips]
+    if not paths:
+        return None
+    rows = []
+    sr_model = getattr(model, "sample_rate", 44100)
+    for p in paths:
+        data, sr = read_wav(p)
+        if sr != sr_model:
+            return None
+        rows.append(np.asarray(data, np.float32)[0])  # first channel
+    n = min(r.shape[0] for r in rows)
+    return np.stack([r[:n] for r in rows])[:, None, :]
 
 
 def turbo_gate(
@@ -156,6 +196,7 @@ def turbo_gate(
     min_agreement_db: float = 30.0,
     min_mask_agreement: float = 0.999,
     seed: int = 0,
+    probe_dir: str = "data_synth/test",
     **serving_kwargs,
 ) -> GateResult:
     """Accuracy gate for the turbo serving profile on a given checkpoint.
@@ -170,15 +211,22 @@ def turbo_gate(
 
     Run this on the TRAINED checkpoint and representative audio: a
     random-init model's argmax near-tie density inflates the flip rate
-    (BASELINE.md) and understates agreement.
+    (BASELINE.md) and understates agreement. When ``clips`` is None the
+    gate probes the held-out corpus at ``probe_dir`` (the same clips
+    ``scripts/evaluate.py`` scores, VERDICT r4 #5) and only falls back
+    to in-function synthetic harmonics when that directory is absent.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    probe = "caller-supplied clips"
     if clips is None:
-        # Deterministic harmonic probe clips (2 s each): tonal content
-        # exercises the imp-map/bitrate path better than noise.
+        clips = _probe_corpus(model, probe_dir)
+        probe = f"held-out corpus {probe_dir} ({0 if clips is None else len(clips)} clips)"
+    if clips is None:
+        # Fallback: deterministic harmonic probe clips (2 s each): tonal
+        # content exercises the imp-map/bitrate path better than noise.
         sr = getattr(model, "sample_rate", 44100)
         t = np.arange(2 * sr) / sr
         rng = np.random.RandomState(seed)
@@ -189,6 +237,7 @@ def turbo_gate(
                     for k in range(1, 6))
             rows.append(x)
         clips = np.stack(rows).astype(np.float32)[:, None, :]
+        probe = "synthetic harmonics (4 clips, fallback)"
     clips = jnp.asarray(clips)
 
     exact_m, exact_p = make_inference_model(model, params)
@@ -209,10 +258,17 @@ def turbo_gate(
     rec_e = np.asarray(dec(exact_p, codes_e, mask_e))
     rec_t = np.asarray(dec(exact_p, codes_t, mask_t))
 
+    def _db(sig, err):
+        return float("inf") if err == 0 else float(
+            10 * np.log10(max(sig, 1e-12) / err))
+
     err = ((rec_e - rec_t) ** 2).sum()
     sig = (rec_e ** 2).sum()
-    agreement_db = float("inf") if err == 0 else float(
-        10 * np.log10(max(sig, 1e-12) / err))
+    agreement_db = _db(sig, err)
+    axes = tuple(range(1, rec_e.ndim))
+    clip_db = tuple(
+        _db(s, e) for s, e in zip(((rec_e ** 2).sum(axis=axes)),
+                                  ((rec_e - rec_t) ** 2).sum(axis=axes)))
 
     ce_np = np.asarray(codes_e)
     if mask_e is None:  # CBR model: every stage always kept
@@ -235,4 +291,7 @@ def turbo_gate(
         min_mask_agreement=min_mask_agreement,
         passed=(agreement_db >= min_agreement_db
                 and mask_agreement >= min_mask_agreement),
+        clip_agreement_db=clip_db,
+        min_clip_agreement_db=min(clip_db) if clip_db else float("nan"),
+        probe=probe,
     )

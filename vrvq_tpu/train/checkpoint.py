@@ -68,8 +68,15 @@ def save_checkpoint(
             # hardlink-copy the finished tree instead. Safe against later
             # overwrites: rewriting a tag rmtree's it and creates fresh
             # inodes, so sibling tags keep the old data.
-            shutil.copytree(first_state_dir, state_dir,
-                            copy_function=os.link)
+            try:
+                shutil.copytree(first_state_dir, state_dir,
+                                copy_function=os.link)
+            except OSError:
+                # Hardlinks unavailable (network/FUSE mounts, cross-device
+                # save paths raise EXDEV/EPERM) — fall back to real copies
+                # rather than failing the whole checkpoint write.
+                shutil.rmtree(state_dir, ignore_errors=True)
+                shutil.copytree(first_state_dir, state_dir)
         if rank == 0:
             meta = {"step": int(state.step)}
             meta.update(metadata or {})

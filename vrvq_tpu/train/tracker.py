@@ -37,6 +37,12 @@ class Tracker:
         self._best: Dict[str, float] = {}
         self._pending: list = []  # (phase, step, {name: device scalar})
         self._log_fh = open(log_file, "a") if (log_file and rank == 0) else None
+        # A crash/SIGKILL between log_every boundaries would drop up to
+        # log_every-1 buffered steps from TensorBoard/log.txt; flush what
+        # we can at interpreter exit (SIGKILL is still lossy, by design —
+        # the buffering IS the perf fix).
+        import atexit
+        atexit.register(self._flush_quietly)
 
     # ------------------------------------------------------------- logging
     def print(self, msg: str) -> None:
@@ -67,6 +73,15 @@ class Tracker:
             scalars = self._flush()
             parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(scalars.items()))
             self.print(f"[{phase}] step {step}: {parts}")
+
+    def _flush_quietly(self) -> None:
+        """atexit hook: best-effort flush of buffered metrics. The device
+        (or the remote tunnel) may already be unusable at exit — never let
+        that turn a clean shutdown into a traceback."""
+        try:
+            self._flush()
+        except Exception:
+            pass
 
     def _flush(self) -> Dict[str, float]:
         """Fetch every buffered metric dict in one transfer and fold it

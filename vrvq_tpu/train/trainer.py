@@ -423,8 +423,14 @@ def train(cfg: Config, save_path: str = "ckpt") -> str:
     # its first save (this destroyed a 4000-step run once: the new run's
     # step-1 init checkpoint replaced 'latest'). Demand an explicit
     # decision: resume, a fresh save_path, or overwrite_ok: true.
+    # Key on EITHER meta.json or the state tree: save_checkpoint writes
+    # meta.json after the state dir, so a run killed mid-first-save can
+    # leave state without meta — that partial save still must not be
+    # silently clobbered by the next fresh run.
+    _latest = Path(save_path) / "latest"
     if (not cfg.get("resume", False) and not cfg.get("overwrite_ok", False)
-            and (Path(save_path) / "latest" / "meta.json").exists()):
+            and ((_latest / "meta.json").exists()
+                 or (_latest / "state").exists())):
         raise FileExistsError(
             f"{save_path!r} already contains checkpoints; set resume: true "
             "to continue that run, overwrite_ok: true to discard it, or "
