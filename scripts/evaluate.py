@@ -84,7 +84,11 @@ def evaluate(cfg):
             f"levels must be a number, comma-separated string, or list of "
             f"numbers; got {type(levels).__name__}: {levels!r}"
         )
-    metrics = list(METRICS) + (["ViSQOL"] if cfg.get("visqol") else [])
+    # --visqol adds BOTH the raw neurogram similarity (NSIM, [0,1]) and
+    # its MOS-LQO mapping (calibrated PCHIP anchor table, visqol.py) —
+    # computed in one gammatonegram pass per (recon, ref) pair.
+    do_visqol = bool(cfg.get("visqol"))
+    metrics = list(METRICS) + (["ViSQOL", "ViSQOL-MOS"] if do_visqol else [])
 
     loader = AudioLoader(sources=[cfg.get("data_dir")], shuffle=False)
     n = min(cfg.get("num_examples", 30), len(loader.audio_indices))
@@ -112,7 +116,15 @@ def evaluate(cfg):
         for lv, r in results.items():
             recon = np.asarray(r["audio"])[..., : ref.shape[-1]]
             for m in metrics:
+                if m in ("ViSQOL", "ViSQOL-MOS"):
+                    continue  # one combined pass below
                 per_level[lv][m].append(cal_metrics(recon, ref, state, m))
+            if do_visqol:
+                from vrvq_tpu.metrics import _visqol_batch
+
+                v, mos = _visqol_batch(recon, ref)
+                per_level[lv]["ViSQOL"].append(v)
+                per_level[lv]["ViSQOL-MOS"].append(mos)
             per_level[lv]["kbps"].append(r["kbps"])
             per_level[lv]["bpf"].append(r["bpf"])
         # full-depth codebook usage for the entropy report (independent

@@ -110,26 +110,32 @@ def main():
         return np.asarray(fn(p, codes, mask))
 
     rec_base = _decode(base_m, base_p)
-    for dp in (1, 2):
-        m_p, p_p = make_serving_model(model, params, decode_packed=dp)
+    for tag, dkw in (("packed_decoder_1", dict(decode_packed=1)),
+                     ("packed_decoder_2", dict(decode_packed=2)),
+                     ("packed_up_decoder_1", dict(decode_packed_up=1)),
+                     ("packed_up_decoder_2", dict(decode_packed_up=2))):
+        m_p, p_p = make_serving_model(model, params, **dkw)
         rec_p = _decode(m_p, p_p)
         err = ((rec_base - rec_p) ** 2).sum()
         sig = (rec_base ** 2).sum()
         db = float("inf") if err == 0 else float(
             10 * np.log10(max(sig, 1e-12) / err))
         print(json.dumps({
-            "gate": f"packed_decoder_{dp}_vs_base_TRAINED",
+            "gate": f"{tag}_vs_base_TRAINED",
             "agreement_db": round(db, 1),
         }), flush=True)
 
-    # ---- 3. timing sweep
+    # ---- 3. timing sweep (decpacked = r4 full packed tail, a recorded
+    # negative; decup = r5 up-conv-only packing)
     variants = (
         ("turbo", dict()),
         ("turbo_encpacked", dict(encode_packed=True)),
+        ("turbo_encpacked_decup1", dict(encode_packed=True,
+                                        decode_packed_up=1)),
+        ("turbo_encpacked_decup2", dict(encode_packed=True,
+                                        decode_packed_up=2)),
         ("turbo_encpacked_decpacked1", dict(encode_packed=True,
                                             decode_packed=1)),
-        ("turbo_encpacked_decpacked2", dict(encode_packed=True,
-                                            decode_packed=2)),
     )
     for name, kw in variants:
         m, p = make_serving_model(model, params, **kw)

@@ -185,6 +185,32 @@ def test_packed_decoder_model_matches(tiny_model, packed_blocks):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("packed_up_blocks", [1, 2])
+def test_packed_up_decoder_model_matches(tiny_model, packed_up_blocks):
+    """Decoder with only the trailing 'up' convs packed (r5 retry of the
+    r4 packed-tail negative): bit-identical codes, ulp-level waveform."""
+    from dataclasses import replace
+
+    model, params, x = tiny_model
+    out_n = model.apply(params, x, level=1.0)
+    packed = replace(model, decoder_packed_up=packed_up_blocks)
+    out_p = packed.apply(params, x, level=1.0)
+    np.testing.assert_array_equal(np.asarray(out_p["codes"]),
+                                  np.asarray(out_n["codes"]))
+    np.testing.assert_allclose(np.asarray(out_p["audio"]),
+                               np.asarray(out_n["audio"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_and_packed_up_are_exclusive(tiny_model):
+    from dataclasses import replace
+
+    model, params, x = tiny_model
+    bad = replace(model, decoder_packed=1, decoder_packed_up=1)
+    with pytest.raises(ValueError, match="exclusive"):
+        bad.apply(params, x, level=1.0)
+
+
 @pytest.mark.slow
 def test_make_inference_model_decode_packed(tiny_model):
     from vrvq_tpu.infer.fast import make_inference_model

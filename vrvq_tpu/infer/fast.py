@@ -44,6 +44,7 @@ def make_inference_model(
     fold_encoder: bool = False,
     encode_packed: bool = False,
     decode_packed: int = 0,
+    decode_packed_up: int = 0,
 ) -> Tuple[object, dict]:
     """Prepare a model+params pair for fast inference.
 
@@ -76,6 +77,12 @@ def make_inference_model(
         — the decoder-side lane-occupancy fix (the tail computes at C=96
         over the full audio rate). Codes are UNTOUCHED (encoder/quantizer
         unchanged); the decoded waveform shifts at the ulp level only.
+        Measured NEGATIVE on v5e (BASELINE.md round 4) — kept opt-in.
+      decode_packed_up: pack ONLY the trailing blocks' 'up' transposed
+        convs (dense sub-pixel matmul, unpacked before each block's
+        ResidualUnits) — the cheap half of decode_packed, without the
+        dilated-conv kernel blow-up that made it negative. Codes
+        untouched; waveform shifts at the ulp level.
 
     Returns ``(model', params')``; the quantizer subtree is never touched.
     """
@@ -100,7 +107,8 @@ def make_inference_model(
               decoder_snake_approx=snake_approx,
               encoder_snake_approx=encode_snake_approx,
               encoder_packed=encode_packed,
-              decoder_packed=decode_packed)
+              decoder_packed=decode_packed,
+              decoder_packed_up=decode_packed_up)
     if decode_dtype is not None:
         kw["decoder_compute_dtype"] = decode_dtype
     if encode_dtype is not None:
@@ -109,7 +117,8 @@ def make_inference_model(
 
 
 def make_serving_model(model, params, encode_packed: bool = False,
-                       decode_packed: int = 0) -> Tuple[object, dict]:
+                       decode_packed: int = 0,
+                       decode_packed_up: int = 0) -> Tuple[object, dict]:
     """The gated max-throughput serving profile ("turbo"): the fast path
     plus polynomial snake in the ENCODER too (live f32 encoder convs).
 
@@ -133,7 +142,8 @@ def make_serving_model(model, params, encode_packed: bool = False,
     """
     return make_inference_model(model, params, encode_snake_approx=True,
                                 encode_packed=encode_packed,
-                                decode_packed=decode_packed)
+                                decode_packed=decode_packed,
+                                decode_packed_up=decode_packed_up)
 
 
 @dataclasses.dataclass

@@ -206,6 +206,7 @@ class DAC_MOE(nn.Module):
     encoder_snake_approx: bool = False  # see DAC_VRVQ.encoder_snake_approx
     encoder_packed: bool = False  # see DAC_VRVQ.encoder_packed
     decoder_packed: int = 0  # see DAC_VRVQ.decoder_packed
+    decoder_packed_up: int = 0  # see DAC_VRVQ.decoder_packed_up
 
     @property
     def resolved_latent_dim(self) -> int:
@@ -281,6 +282,7 @@ class DAC_MOE(nn.Module):
             folded=self.folded or self.decoder_folded,
             snake_approx=self.decoder_snake_approx,
             packed_blocks=self.decoder_packed,
+            packed_up_blocks=self.decoder_packed_up,
             name="decoder",
         )
 

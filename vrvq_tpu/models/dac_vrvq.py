@@ -116,11 +116,20 @@ class Decoder(nn.Module):
     # so packed_blocks=1 runs the C=96 region at 2x96 lanes over T/2.
     # Same params; ulp-level summation reorder -> gated profiles only.
     packed_blocks: int = 0
+    # Pack ONLY the last ``packed_up_blocks`` blocks' 'up' transposed convs
+    # (dense sub-pixel matmul), unpacking before each block's ResidualUnits
+    # — the cheap half of the packed-tail layout, without the dilated-conv
+    # kernel blow-up that made packed_blocks a measured negative (r4).
+    packed_up_blocks: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad_mode = "zeros" if self.padding else "none"
-        if self.packed_blocks and not self.padding:
+        if self.packed_blocks and self.packed_up_blocks:
+            raise ValueError("packed_blocks and packed_up_blocks are "
+                             "exclusive")
+        if ((self.packed_blocks or self.packed_up_blocks)
+                and not self.padding):
             raise ValueError("packed decoder requires padding=True")
         x = x.astype(jnp.dtype(self.compute_dtype))
         x = WNConv1d(self.input_channel, self.channels, kernel_size=7,
@@ -133,10 +142,12 @@ class Decoder(nn.Module):
             input_dim = self.channels // (2 ** i)
             output_dim = self.channels // (2 ** (i + 1))
             packed = i >= n_blocks - self.packed_blocks
+            packed_up = i >= n_blocks - self.packed_up_blocks
             x = DecoderBlock(input_dim, output_dim, stride,
                              padding=self.padding, folded=self.folded,
                              snake_approx=self.snake_approx,
                              packed=packed, time_pack_in=pack,
+                             packed_up_only=packed_up,
                              name=f"block_{i}")(x)
             if packed:
                 pack *= stride
@@ -206,6 +217,10 @@ class DAC_VRVQ(nn.Module):
     # layout. Same params; only the decode waveform shifts at the ulp
     # level (codes are untouched) -> gated serving profiles.
     decoder_packed: int = 0
+    # Pack only the trailing blocks' 'up' transposed convs (see
+    # Decoder.packed_up_blocks) — the r5 retry after the full packed tail
+    # measured negative (the dilated ResidualUnits were the blow-up).
+    decoder_packed_up: int = 0
     # ``encode_precision='highest'`` forces true-f32 convs in the encoder and
     # importance subnet so TPU codes match the CPU/torch-exact path
     # bit-for-bit (JAX's default TPU conv precision uses bf16 MXU multiplies,
@@ -291,6 +306,7 @@ class DAC_VRVQ(nn.Module):
             folded=self.folded or self.decoder_folded,
             snake_approx=self.decoder_snake_approx,
             packed_blocks=self.decoder_packed,
+            packed_up_blocks=self.decoder_packed_up,
             name="decoder",
         )
 

@@ -505,15 +505,25 @@ class DecoderBlock(nn.Module):
     # another packed block / the packed decoder tail. Params unchanged.
     packed: bool = False
     time_pack_in: int = 1
+    # ``packed_up_only``: run ONLY the 'up' transposed conv in the packed
+    # layout (dense matmul at stride*output_dim lanes instead of a strided
+    # scatter), then unpack before the ResidualUnits — the round-5 retry of
+    # the round-4 packed-tail negative, which localized the dp=1 blow-up to
+    # the PACKED dilated ResidualUnit convs (kernel-FLOPs x Q of structured
+    # zeros), not the up conv itself (BASELINE.md round-4 table).
+    packed_up_only: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad_mode = "zeros" if self.padding else "none"
         tp_in = self.time_pack_in
-        tp_out = tp_in * self.stride if self.packed else 1
-        if tp_in != 1 and not self.packed:
+        tp_out = tp_in * self.stride if (self.packed
+                                         or self.packed_up_only) else 1
+        if tp_in != 1 and not (self.packed or self.packed_up_only):
             raise ValueError("time_pack_in != 1 requires packed=True")
-        if self.packed and not self.padding:
+        if self.packed and self.packed_up_only:
+            raise ValueError("packed and packed_up_only are exclusive")
+        if (self.packed or self.packed_up_only) and not self.padding:
             raise ValueError("time-packed DecoderBlock requires padding=True")
         x = Snake1d(self.input_dim, approx=self.snake_approx,
                     time_pack=tp_in, name="snake")(x)
@@ -528,6 +538,11 @@ class DecoderBlock(nn.Module):
             time_pack_out=tp_out,
             name="up",
         )(x)
+        if self.packed_up_only and tp_out != 1:
+            # unpack (B, U, tp_out*C) -> (B, U*tp_out, C): ResidualUnits
+            # run in the native layout
+            x = x.reshape(x.shape[0], x.shape[1] * tp_out, self.output_dim)
+            tp_out = 1
         for i, dilation in enumerate((1, 3, 9)):
             x = ResidualUnit(
                 self.output_dim, dilation=dilation, padding=self.padding,
