@@ -100,13 +100,18 @@ def evaluate(cfg):
     usage = [np.zeros(model.codebook_size, np.int64) for _ in range(n_q)]
     imp_energy_r = []
 
+    clip_classes = []  # per-example class tag (from make_synth_dataset
+    #                    multi-class filenames: split_0007_speech+noise.wav)
     for idx in range(n):
         item = loader(
             state=np.random.RandomState(idx),
             sample_rate=model.sample_rate,
             duration=cfg.get("duration", 10),
             num_channels=1,
+            global_idx=idx,  # deterministic sweep over the directory
         )
+        stem_parts = Path(item["path"]).stem.split("_", 2)
+        clip_classes.append(stem_parts[2] if len(stem_parts) > 2 else "")
         audio = model.preprocess(
             jnp.asarray(item["signal"].audio_data), model.sample_rate
         )
@@ -167,6 +172,24 @@ def evaluate(cfg):
         report["imp_map_energy_corr"] = dict(
             zip(("mean", "std"), mean_std(imp_energy_r))
         )
+
+    if any(clip_classes):
+        # per-class rate-distortion at the top level: mixed corpora hide
+        # class-dependent failure (noise textures vs harmonics) in the mean
+        top = max(levels)
+        by_class: dict = {}
+        for metric in ("SI-SDR", "mel", "kbps") + (
+                ("ViSQOL-MOS",) if do_visqol else ()):
+            vals = per_level[top][metric]
+            for cls, v in zip(clip_classes, vals):
+                for c in (cls.split("+") if cls else ["unknown"]):
+                    by_class.setdefault(c, {}).setdefault(
+                        metric, []).append(float(v))
+        report["per_class_top_level"] = {
+            c: {m: dict(zip(("mean", "std"), mean_std(vs)))
+                for m, vs in ms.items()}
+            for c, ms in by_class.items()
+        }
 
     out = cfg.get("out", "eval.json")
     with open(out, "w") as f:

@@ -139,10 +139,11 @@ CLIP_CLASSES = {
 }
 
 
-def synth_clip(rng: np.random.RandomState, sr: int, dur: float,
-               classes=("harmonic",)) -> np.ndarray:
+def synth_clip_with_classes(rng: np.random.RandomState, sr: int, dur: float,
+                            classes=("harmonic",)):
     """One clip from a randomly drawn class (or a 2-class mix, 25% of the
-    time, when more than one class is allowed)."""
+    time, when more than one class is allowed). Returns (audio, picks) so
+    callers can tag files with their class for per-class evaluation."""
     n = int(sr * dur)
     t = np.arange(n) / sr
     names = list(classes)
@@ -161,7 +162,12 @@ def synth_clip(rng: np.random.RandomState, sr: int, dur: float,
     peak = np.abs(audio).max()
     if peak > 0:
         audio *= rng.uniform(0.1, 0.9) / peak
-    return audio.astype(np.float32)
+    return audio.astype(np.float32), picks
+
+
+def synth_clip(rng: np.random.RandomState, sr: int, dur: float,
+               classes=("harmonic",)) -> np.ndarray:
+    return synth_clip_with_classes(rng, sr, dur, classes)[0]
 
 
 def main() -> None:
@@ -195,9 +201,13 @@ def main() -> None:
             rng = np.random.RandomState(
                 (args.seed * 1_000_003 + si * 99991 + i) % 2**32
             )
-            clip = synth_clip(rng, args.sample_rate, args.duration,
-                              classes=classes)
-            write_wav(out / f"{split}_{i:04d}.wav", clip[None, :],
+            clip, picks = synth_clip_with_classes(
+                rng, args.sample_rate, args.duration, classes=classes)
+            # multi-class corpora tag the file with its class(es) so
+            # per-class evaluation can group by filename; the single-class
+            # default keeps the historical names (data_synth evidence)
+            tag = "" if len(classes) == 1 else "_" + "+".join(picks)
+            write_wav(out / f"{split}_{i:04d}{tag}.wav", clip[None, :],
                       args.sample_rate)
         print(f"{split}: {count} x {args.duration}s -> {out}")
 

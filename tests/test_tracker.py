@@ -62,3 +62,22 @@ def test_is_best_tracks_minimum():
         tr.log_metrics("val", _m(v))
         tr.done("val")
         assert tr.is_best("val", "loss") is expect
+
+
+def test_atexit_flush_is_quiet_and_flushes(tmp_path):
+    """A dying run keeps its buffered window: _flush_quietly (registered
+    via atexit) folds pending metrics into the phase sums, and never
+    raises even if the device/writer is already unusable."""
+    log = tmp_path / "log.txt"
+    tr = Tracker(log_every=1000, log_file=str(log))
+    for s in range(1, 4):
+        tr.step = s
+        tr.log_metrics("train", _m(2.0))
+    assert len(tr._pending) == 3
+    tr._flush_quietly()
+    assert tr._pending == []
+    assert tr._phase_counts["train"] == 3
+
+    # simulate an unusable state at interpreter exit: must not raise
+    tr._pending.append(("train", 99, ("loss",), object()))
+    tr._flush_quietly()

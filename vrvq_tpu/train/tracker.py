@@ -68,7 +68,17 @@ class Tracker:
         step = self.step if step is None else step
         kept = {k: v for k, v in metrics.items()
                 if v is not None and np.ndim(v) == 0}
-        self._pending.append((phase, step, kept))
+        # Pack the step's scalars into ONE device vector now (a single tiny
+        # async dispatch): round-5 on-chip measurement showed the dict-of-
+        # scalars flush still paid ~one tunnel RPC PER SCALAR (~600 fetches
+        # per 50-step window ~ 8.8 s, log=175 ms/step mean) — batching must
+        # happen device-side, not in the device_get call.
+        import jax.numpy as jnp
+
+        keys = tuple(sorted(kept))
+        vec = jnp.stack([jnp.asarray(kept[k], jnp.float32)
+                         for k in keys]) if keys else None
+        self._pending.append((phase, step, keys, vec))
         if phase == "train" and step % self.log_every == 0:
             scalars = self._flush()
             parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(scalars.items()))
@@ -84,15 +94,34 @@ class Tracker:
             pass
 
     def _flush(self) -> Dict[str, float]:
-        """Fetch every buffered metric dict in one transfer and fold it
-        into the phase sums / TensorBoard. Returns the LAST step's scalars
-        (for the boundary print)."""
+        """Fetch the buffered window in ONE device->host transfer and fold
+        it into the phase sums / TensorBoard. Returns the LAST step's
+        scalars (for the boundary print).
+
+        The per-step vectors are stacked device-side into a single (n, K)
+        array per key-layout group (train/val layouts differ), so a
+        50-step window costs one stack dispatch + one fetch instead of
+        ~600 per-scalar tunnel round-trips."""
         if not self._pending:
             return {}
-        fetched = jax.device_get([m for _, _, m in self._pending])
+        import jax.numpy as jnp
+
+        # group contiguously-compatible entries by their key tuple
+        groups: Dict[tuple, list] = defaultdict(list)
+        for i, (_, _, keys, vec) in enumerate(self._pending):
+            if vec is not None:
+                groups[keys].append((i, vec))
+        fetched: Dict[int, np.ndarray] = {}
+        for keys, entries in groups.items():
+            mat = np.asarray(jnp.stack([v for _, v in entries]))
+            for (i, _), row in zip(entries, mat):
+                fetched[i] = row
         scalars: Dict[str, float] = {}
-        for (phase, step, _), vals in zip(self._pending, fetched):
-            scalars = {k: float(v) for k, v in vals.items()}
+        for i, (phase, step, keys, _) in enumerate(self._pending):
+            row = fetched.get(i)
+            if row is None:
+                continue
+            scalars = {k: float(v) for k, v in zip(keys, row)}
             for k, v in scalars.items():
                 self._phase_sums[phase][k] += v
             self._phase_counts[phase] += 1
