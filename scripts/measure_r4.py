@@ -15,8 +15,11 @@ This CLI runs everything against a TRAINED checkpoint (default ckpt_20k):
 Prints one JSON line per measurement, incrementally, so a tunnel wedge
 mid-run keeps the earlier numbers. Bounded: run under ``timeout``.
 
-Usage: python scripts/measure_r4.py [batch seconds ckpt_dir]
-(defaults 16 10.0 ckpt_20k; pass e.g. ``2 1.0`` for a CPU smoke run).
+Usage: python scripts/measure_r4.py [batch seconds ckpt_dir probe_dir]
+(defaults 16 10.0 ckpt_20k data_synth/test; pass e.g. ``2 1.0`` for a
+CPU smoke run). ``probe_dir`` selects the gate's held-out probe corpus —
+point it at the corpus the checkpoint trained against (e.g.
+``data_synth_rich/test`` for a `vrvq_a2_synth_rich_30k` run).
 The script refuses near-init checkpoints (<1000 steps): the gates exist
 precisely because near-init argmax near-ties produce meaningless verdicts
 (round-3 random-init 18.7 dB, round-4 step-1 25.3 dB — both artifacts).
@@ -73,8 +76,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "ckpt_20k"
+    probe_dir = sys.argv[4] if len(sys.argv) > 4 else "data_synth/test"
     model, params = _trained_flagship(ckpt_dir)
-    print(json.dumps({"ckpt_dir": ckpt_dir}), flush=True)
+    print(json.dumps({"ckpt_dir": ckpt_dir, "probe_dir": probe_dir}),
+          flush=True)
     audio, n = _bench_audio(batch=batch, seconds=seconds, seed=0)
     secs = batch * (n / SAMPLE_RATE)
 
@@ -84,7 +89,7 @@ def main():
     for gname, kw in (("turbo_vs_exact_TRAINED", {}),
                       ("packed_encoder_vs_exact_TRAINED",
                        dict(encode_packed=True))):
-        res = turbo_gate(model, params, **kw)
+        res = turbo_gate(model, params, probe_dir=probe_dir, **kw)
         print(json.dumps({
             "gate": gname,
             "agreement_db": round(res.agreement_db, 1),
