@@ -18,6 +18,11 @@ min-clip SI-SDR turbo-vs-exact decode agreement, 99.97% bitrate-mask
 agreement, 0.39% code flips (plain turbo: 37.4 dB / 35.0 dB min-clip).
 The bf16-encoder variant FAILED the gate (26.2 dB, r3) and stays
 opt-in. The exact-codes path is one call away (rtf_exact_fast below).
+The gate verdict is per checkpoint x corpus, not per profile: the SAME
+packed-turbo profile FAILS its gate on the rich-corpus 30k checkpoint
+(24 dB / 99.5% mask, MEASURE_r5_rich.jsonl) — that model serves the
+exact path. The headline here measures the profile's speed, which is
+weight-independent; deployment always goes through turbo_gate.
 
 Structure (hard-deadline, early-emission — the round-2 artifact was lost
 to a driver timeout because one wedged phase forfeited the whole run):
