@@ -138,7 +138,12 @@ def make_serving_model(model, params, encode_packed: bool = False,
 
     Deploy behind ``turbo_gate`` on YOUR checkpoint + data: if the gate
     passes, this is the default to serve with; the bit-exact path stays
-    one call away (``make_inference_model``).
+    one call away (``make_inference_model``). The verdict does not
+    transfer between checkpoints or corpora: the same packed profile
+    FAILED its gate on the rich-corpus 30k checkpoint (24 dB, mask
+    agreement 99.5% — transient/noise content puts the imp-map near the
+    mask threshold ~10x more often, MEASURE_r5_rich.jsonl), so that
+    model serves the exact path.
     """
     return make_inference_model(model, params, encode_snake_approx=True,
                                 encode_packed=encode_packed,
